@@ -1,24 +1,25 @@
 """Test harness: force JAX onto 8 emulated CPU devices.
 
-Multi-chip sharding is validated without TPU hardware, per SURVEY.md §4:
-`XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu`.
-Must run before the first `import jax` anywhere in the test process.
+Multi-chip sharding is validated without TPU hardware, per SURVEY.md §4.
+NOTE: this environment pre-imports jax and registers the TPU PJRT plugin in
+*every* python process via a sitecustomize (PYTHONPATH=/root/.axon_site), so
+env-var settings here would be too late — but backends initialize lazily, so
+`jax.config.update("jax_platforms", "cpu")` before the first device use still
+wins, and XLA_FLAGS is read at CPU-client creation time.
 """
 
 import os
 
-# Hard override: the session environment pins JAX_PLATFORMS to the TPU
-# tunnel; tests must run on emulated CPU devices.
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu3drec")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

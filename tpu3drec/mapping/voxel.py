@@ -62,10 +62,13 @@ def unique_voxels(keys: jnp.ndarray, valid: jnp.ndarray):
     inval = ~valid
     hi = jnp.where(inval, jnp.uint32(0xFFFFFFFF), hi)
     lo = jnp.where(inval, jnp.uint32(0xFFFFFFFF), lo)
-    order = jnp.lexsort((lo, hi))
-    skeys = keys[order]
-    svalid = valid[order]
-    shi, slo = hi[order], lo[order]
+    # Single lax.sort with the key columns + validity as payload operands:
+    # avoids the permutation-gather a lexsort-then-index formulation needs
+    # (gathers are the slow path on TPU; payloads ride the sort instead).
+    shi, slo, kx, ky, kz, svalid = jax.lax.sort(
+        (hi, lo, keys[:, 0], keys[:, 1], keys[:, 2], valid), num_keys=2
+    )
+    skeys = jnp.stack([kx, ky, kz], axis=-1)
     first = jnp.concatenate(
         [
             jnp.ones((1,), dtype=bool),
