@@ -1,0 +1,159 @@
+"""Iterative Closest Point on device, with similarity (scale) alignment.
+
+Replaces the reference's offline open3d ICP step: readme section 2(2)
+(`ref/readme.md:24-25`) runs ICP between two frames' clouds to recover the
+metric scale COLMAP can't, writing a 4x4 ``T_data.txt`` consumed by
+`ref/other_tools/transfer_T_icp.py:33-43`. Here the whole loop runs in one
+jit: nearest-neighbor search is a tiled |a|^2+|b|^2-2ab distance computed on
+the MXU, the alignment solve is closed-form Umeyama (optionally with scale,
+giving the scale-correction capability natively), iterations via lax.scan
+with trimmed correspondences (static shapes, weight masks instead of
+compaction).
+
+Multi-device scaling (ring-sharded reference cloud with ppermute halo
+exchange, SURVEY.md §5.7) lives in `tpu3drec/parallel/ring.py`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+def pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(N,3) x (M,3) -> (N,M) squared distances via the matmul identity
+    (the MXU does the heavy lifting; elementwise terms fuse around it)."""
+    a2 = jnp.sum(a * a, axis=-1, keepdims=True)
+    b2 = jnp.sum(b * b, axis=-1, keepdims=True).T
+    ab = a @ b.T
+    return jnp.maximum(a2 + b2 - 2.0 * ab, 0.0)
+
+
+@partial(jax.jit, static_argnames=("block",))
+def nearest_neighbors(
+    query: jnp.ndarray, ref: jnp.ndarray, block: int = 2048
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """For each query point, index + squared distance of its nearest ref
+    point. Tiled over ref blocks with a running min so the (N, M) distance
+    matrix never materializes (VMEM-sized tiles only)."""
+    n = query.shape[0]
+    m = ref.shape[0]
+    nblocks = -(-m // block)
+    pad = nblocks * block - m
+    # pad with a large finite coordinate (inf would make a2+b2-2ab = nan)
+    ref_p = jnp.pad(ref, ((0, pad), (0, 0)), constant_values=1e9)
+    ref_blocks = ref_p.reshape(nblocks, block, 3)
+
+    def body(carry, rb_i):
+        best_d, best_i = carry
+        rb, i = rb_i
+        d = pairwise_sqdist(query, rb)  # (N, block)
+        dmin = jnp.min(d, axis=1)
+        amin = jnp.argmin(d, axis=1) + i * block
+        take = dmin < best_d
+        return (jnp.where(take, dmin, best_d), jnp.where(take, amin, best_i)), None
+
+    init = (jnp.full((n,), jnp.inf), jnp.zeros((n,), jnp.int32))
+    (best_d, best_i), _ = jax.lax.scan(
+        body, init, (ref_blocks, jnp.arange(nblocks, dtype=jnp.int32))
+    )
+    return best_i, best_d
+
+
+def umeyama(
+    src: jnp.ndarray, dst: jnp.ndarray, weights: jnp.ndarray,
+    with_scale: bool = True,
+):
+    """Weighted similarity alignment: find (s, R, t) minimizing
+    sum w |s R src + t - dst|^2 (Umeyama 1991). Returns (s, R, t)."""
+    w = weights / jnp.maximum(jnp.sum(weights), 1e-12)
+    mu_s = jnp.einsum("n,ni->i", w, src)
+    mu_d = jnp.einsum("n,ni->i", w, dst)
+    sc = src - mu_s
+    dc = dst - mu_d
+    cov = jnp.einsum("n,ni,nj->ij", w, dc, sc)  # dst x src covariance
+    U, S, Vt = jnp.linalg.svd(cov)
+    # proper-rotation (det=+1) correction on the smallest singular vector
+    d = jnp.sign(jnp.linalg.det(U) * jnp.linalg.det(Vt))
+    corr = jnp.diag(jnp.concatenate([jnp.ones(2, dtype=cov.dtype), d[None]]))
+    R = U @ corr @ Vt
+    if with_scale:
+        var_s = jnp.einsum("n,ni->", w, sc * sc)
+        s = (S[0] + S[1] + S[2] * d) / jnp.maximum(var_s, 1e-12)
+    else:
+        s = jnp.float32(1.0)
+    t = mu_d - s * R @ mu_s
+    return s, R, t
+
+
+class ICPResult(NamedTuple):
+    T: jnp.ndarray        # (4,4) similarity transform (sR | t)
+    scale: jnp.ndarray    # ()
+    rmse: jnp.ndarray     # () final inlier RMSE
+    n_inliers: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("iters", "with_scale", "block"))
+def icp(
+    src: jnp.ndarray,          # (N,3) moving cloud
+    dst: jnp.ndarray,          # (M,3) fixed cloud
+    iters: int = 20,
+    with_scale: bool = True,
+    inlier_quantile: float = 0.9,
+    block: int = 2048,
+    init_T: jnp.ndarray | None = None,
+) -> ICPResult:
+    """Trimmed similarity ICP: src -> dst. Correspondences beyond the
+    ``inlier_quantile`` distance each iteration are down-weighted to zero
+    (trimming handles partial overlap). Returns the 4x4 T with scale folded
+    into the rotation block — exactly the ``T_data.txt`` contract the
+    reference's fusion step consumes (`transfer_T_icp.py:33-43`)."""
+    n = src.shape[0]
+
+    if init_T is None:
+        # centroid + RMS-radius pre-alignment: gets translation and gross
+        # scale into the NN search's basin of attraction
+        mu_s = jnp.mean(src, axis=0)
+        mu_d = jnp.mean(dst, axis=0)
+        if with_scale:
+            r_s = jnp.sqrt(jnp.mean(jnp.sum((src - mu_s) ** 2, axis=-1)))
+            r_d = jnp.sqrt(jnp.mean(jnp.sum((dst - mu_d) ** 2, axis=-1)))
+            s0 = r_d / jnp.maximum(r_s, 1e-12)
+        else:
+            s0 = jnp.asarray(1.0, src.dtype)
+        T0 = jnp.eye(4, dtype=src.dtype)
+        T0 = T0.at[:3, :3].set(s0 * jnp.eye(3, dtype=src.dtype))
+        T0 = T0.at[:3, 3].set(mu_d - s0 * mu_s)
+    else:
+        T0 = init_T.astype(src.dtype)
+
+    def step(T, _):
+        cur = src @ T[:3, :3].T + T[:3, 3]
+        idx, d2 = nearest_neighbors(cur, dst, block=block)
+        # trimmed weights: keep the best inlier_quantile fraction
+        thresh = jnp.quantile(d2, inlier_quantile)
+        w = (d2 <= thresh).astype(src.dtype)
+        matched = dst[idx]
+        s, R, t = umeyama(cur, matched, w, with_scale=with_scale)
+        dT = jnp.eye(4, dtype=src.dtype)
+        dT = dT.at[:3, :3].set(s * R)
+        dT = dT.at[:3, 3].set(t)
+        T_new = dT @ T
+        rmse = jnp.sqrt(jnp.sum(w * d2) / jnp.maximum(jnp.sum(w), 1.0))
+        return T_new, (rmse, jnp.sum(w))
+
+    T, (rmses, n_in) = jax.lax.scan(step, T0, None, length=iters)
+    A = T[:3, :3]
+    scale = jnp.exp(jnp.log(jnp.maximum(jnp.linalg.det(A), 1e-20)) / 3.0)
+    return ICPResult(T=T, scale=scale, rmse=rmses[-1], n_inliers=n_in[-1].astype(jnp.int32))
+
+
+def icp_scale_correction(cloud_a: jnp.ndarray, cloud_b: jnp.ndarray, **kw) -> jnp.ndarray:
+    """The reference's metric-scale-correction artifact: align cloud_b onto
+    cloud_a with a similarity ICP and return the 4x4 T (readme §2(2),
+    `ref/readme.md:24-25`) ready for `pipelines/icp_fusion.py` /
+    ``write_T_txt``."""
+    return icp(cloud_b, cloud_a, **kw).T
