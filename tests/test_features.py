@@ -1,0 +1,148 @@
+"""Feature detection / description / matching tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu3drec.sfm.features import (
+    gaussian_blur,
+    detect_keypoints,
+    describe_keypoints,
+    detect_and_describe,
+)
+from tpu3drec.sfm.matching import (
+    match_descriptors,
+    match_pairs,
+    sequential_pairs,
+)
+from tpu3drec.ops.matcher import topk2_scores
+
+
+def _dots_image(rng, h=96, w=128, n=20, seed_pts=None):
+    """Gaussian blobs on a dark background: unambiguous corners.
+
+    Blobs are jittered grid points so they stay well-separated (overlapping
+    blobs would legitimately merge into one detection)."""
+    img = np.zeros((h, w), np.float32)
+    if seed_pts is not None:
+        pts = seed_pts
+    else:
+        gx, gy = np.meshgrid(np.linspace(20, w - 20, 5), np.linspace(20, h - 20, 4))
+        grid = np.stack([gx.ravel(), gy.ravel()], -1)
+        grid += rng.uniform(-4, 4, size=grid.shape)
+        pts = grid[rng.permutation(len(grid))[:n]]
+    yy, xx = np.mgrid[0:h, 0:w]
+    for (x, y) in pts:
+        img += np.exp(-((xx - x) ** 2 + (yy - y) ** 2) / (2 * 2.0 ** 2))
+    return np.clip(img, 0, 1), np.asarray(pts)
+
+
+class TestDetect:
+    def test_gaussian_blur_preserves_mean(self, rng):
+        img = rng.uniform(size=(32, 40)).astype(np.float32)
+        out = np.asarray(gaussian_blur(jnp.asarray(img), 1.5))
+        # reflect padding is not exactly mean-preserving; 0.5% is enough
+        np.testing.assert_allclose(out.mean(), img.mean(), rtol=5e-3)
+        assert out.std() < img.std()
+
+    def test_detects_blob_centers(self, rng):
+        img, pts = _dots_image(rng, n=12)
+        kps = detect_keypoints(jnp.asarray(img), max_keypoints=64)
+        found = np.asarray(kps.xy)[np.asarray(kps.valid)]
+        assert len(found) >= 10
+        # every planted blob should have a detection within 2px
+        d = np.linalg.norm(pts[:, None] - found[None], axis=-1).min(1)
+        assert (d < 2.0).mean() > 0.8
+
+    def test_static_output_shapes(self, rng):
+        img, _ = _dots_image(rng, n=3)
+        kps = detect_keypoints(jnp.asarray(img), max_keypoints=256)
+        assert kps.xy.shape == (256, 2)
+        assert kps.valid.shape == (256,)
+        assert int(np.asarray(kps.valid).sum()) < 256  # padding marked invalid
+
+
+class TestDescribe:
+    def test_descriptor_norm_and_shape(self, rng):
+        img, _ = _dots_image(rng)
+        kps, desc = detect_and_describe(jnp.asarray(img), max_keypoints=64)
+        desc = np.asarray(desc)
+        assert desc.shape == (64, 128)
+        norms = np.linalg.norm(desc, axis=1)
+        valid = np.asarray(kps.valid)
+        np.testing.assert_allclose(norms[valid], 1.0, atol=1e-4)
+        assert (norms[~valid] == 0).all()
+
+    def test_descriptor_shift_invariant_match(self, rng):
+        """The same scene shifted: descriptors must match across images."""
+        img_a, pts = _dots_image(rng, n=15)
+        shift = 6
+        img_b = np.roll(img_a, shift, axis=1)
+        kps_a, desc_a = detect_and_describe(jnp.asarray(img_a), max_keypoints=64)
+        kps_b, desc_b = detect_and_describe(jnp.asarray(img_b), max_keypoints=64)
+        m = match_descriptors(desc_a, desc_b, kps_a.valid, kps_b.valid)
+        ia = np.asarray(m.idx_a)[np.asarray(m.valid)]
+        ib = np.asarray(m.idx_b)[np.asarray(m.valid)]
+        assert len(ia) >= 8
+        # matched keypoints should differ by the known shift
+        dx = np.asarray(kps_b.xy)[ib, 0] - np.asarray(kps_a.xy)[ia, 0]
+        interior = np.asarray(kps_a.xy)[ia, 0] < (img_a.shape[1] - shift - 10)
+        frac_ok = (np.abs(dx[interior] - shift) < 1.5).mean()
+        assert frac_ok > 0.8
+
+
+class TestMatcher:
+    def test_exact_self_match(self, rng):
+        d = rng.normal(size=(40, 16)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        m = match_descriptors(jnp.asarray(d), jnp.asarray(d), ratio=0.99)
+        v = np.asarray(m.valid)
+        assert v.all()
+        np.testing.assert_array_equal(np.asarray(m.idx_b), np.arange(40))
+
+    def test_ratio_test_rejects_ambiguous(self, rng):
+        base = rng.normal(size=(1, 16)).astype(np.float32)
+        # two nearly identical refs -> ambiguous -> rejected
+        refs = np.concatenate([base + 1e-4, base - 1e-4, rng.normal(size=(5, 16))])
+        refs /= np.linalg.norm(refs, axis=1, keepdims=True)
+        q = base / np.linalg.norm(base)
+        m = match_descriptors(jnp.asarray(q), jnp.asarray(refs), ratio=0.8)
+        assert not bool(np.asarray(m.valid)[0])
+
+    def test_pallas_kernel_matches_xla(self, rng):
+        Ka, Kb, D = 128, 200, 32
+        a = rng.normal(size=(Ka, D)).astype(np.float32)
+        b = rng.normal(size=(Kb, D)).astype(np.float32)
+        a /= np.linalg.norm(a, axis=1, keepdims=True)
+        b /= np.linalg.norm(b, axis=1, keepdims=True)
+        valid_b = np.ones(Kb, bool)
+        valid_b[170:] = False
+        best, top2 = topk2_scores(jnp.asarray(a), jnp.asarray(b), jnp.asarray(valid_b))
+        scores = a @ b.T
+        scores[:, ~valid_b] = -np.inf
+        np.testing.assert_array_equal(np.asarray(best), scores.argmax(1))
+        ref_sorted = np.sort(scores, axis=1)
+        np.testing.assert_allclose(np.asarray(top2)[:, 0], ref_sorted[:, -1], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(top2)[:, 1], ref_sorted[:, -2], atol=1e-5)
+
+    def test_pallas_path_same_matches(self, rng):
+        Ka, Kb, D = 128, 128, 32
+        a = rng.normal(size=(Ka, D)).astype(np.float32)
+        b = a[rng.permutation(Kb)] + 0.01 * rng.normal(size=(Kb, D)).astype(np.float32)
+        a /= np.linalg.norm(a, axis=1, keepdims=True)
+        b /= np.linalg.norm(b, axis=1, keepdims=True)
+        m_ref = match_descriptors(jnp.asarray(a), jnp.asarray(b))
+        m_pal = match_descriptors(jnp.asarray(a), jnp.asarray(b), use_pallas=True)
+        np.testing.assert_array_equal(np.asarray(m_ref.valid), np.asarray(m_pal.valid))
+        v = np.asarray(m_ref.valid)
+        np.testing.assert_array_equal(np.asarray(m_ref.idx_b)[v], np.asarray(m_pal.idx_b)[v])
+
+    def test_batched_pairs(self, rng):
+        F, K, D = 4, 32, 16
+        descs = rng.normal(size=(F, K, D)).astype(np.float32)
+        descs /= np.linalg.norm(descs, axis=-1, keepdims=True)
+        valids = np.ones((F, K), bool)
+        pairs = sequential_pairs(F, overlap=2)
+        assert pairs.shape == (5, 2)
+        m = match_pairs(jnp.asarray(descs), jnp.asarray(valids), pairs)
+        assert m.idx_a.shape == (5, K)

@@ -1,0 +1,240 @@
+"""Feature detection + description: the SfM front end, batched on device.
+
+TPU-native replacement for COLMAP's CPU SIFT stage (reference workflow:
+`ref/software_record/colmap使用.docx` §2.2 — SIFT extraction with shared
+PINHOLE intrinsics). Design constraints driving the implementation:
+
+* **Static shapes everywhere**: detection returns a fixed top-K keypoint
+  set per image (scores pad with -inf; a validity mask rides along), so the
+  whole front end vmaps over frames and pjit-shards over the `data` axis.
+* **Convolutions, not gathers, where possible**: the scale pyramid, DoG,
+  and gradient fields are separable convolutions (MXU/VPU friendly); only
+  descriptor patch sampling gathers, batched over keypoints.
+* Upright or oriented descriptors: SIFT-style 4x4x8 gradient histograms
+  with soft binning, L2->clip(0.2)->L2 normalization; orientation from the
+  dominant gradient direction (36-bin histogram), optional for forward-
+  motion video where upright suffices.
+
+Scores are Hessian-of-DoG extrema over (x, y, scale) neighborhoods with
+edge suppression, following Lowe's scheme numerically but organized as
+dense tensor ops.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+# ------------------------------------------------------------ scale pyramid
+
+def gaussian_kernel1d(sigma: float, radius: int) -> jnp.ndarray:
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return k / jnp.sum(k)
+
+
+def gaussian_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Separable Gaussian on (H, W), reflect-padded."""
+    radius = max(1, int(3.0 * sigma + 0.5))
+    k = gaussian_kernel1d(sigma, radius)
+    img = jnp.pad(img, ((radius, radius), (0, 0)), mode="reflect")
+    img = jax.vmap(lambda col: jnp.convolve(col, k, mode="valid"), in_axes=1, out_axes=1)(img)
+    img = jnp.pad(img, ((0, 0), (radius, radius)), mode="reflect")
+    img = jax.vmap(lambda row: jnp.convolve(row, k, mode="valid"))(img)
+    return img
+
+
+def dog_stack(img: jnp.ndarray, num_scales: int = 4, sigma0: float = 1.6):
+    """Single-octave Gaussian stack + DoG slices.
+
+    Returns (gaussians (S+1,H,W), dogs (S,H,W), sigmas (S+1,)).
+    """
+    k = 2.0 ** (1.0 / max(num_scales - 1, 1))
+    sigmas = [sigma0 * (k ** i) for i in range(num_scales + 1)]
+    gs = [gaussian_blur(img, s) for s in sigmas]
+    G = jnp.stack(gs)
+    D = G[1:] - G[:-1]
+    return G, D, jnp.asarray(sigmas)
+
+
+# ---------------------------------------------------------------- detection
+
+class Keypoints(NamedTuple):
+    xy: jnp.ndarray      # (K, 2) pixel coords (x, y)
+    scale: jnp.ndarray   # (K,) detection sigma
+    angle: jnp.ndarray   # (K,) orientation in radians (0 if upright)
+    score: jnp.ndarray   # (K,) detection response
+    valid: jnp.ndarray   # (K,) bool
+
+
+def _local_extrema(D: jnp.ndarray, threshold: float) -> jnp.ndarray:
+    """(S,H,W) DoG -> (S,H,W) bool: 26-neighborhood extrema above threshold.
+    Borders (scale & space) excluded."""
+    S, H, W = D.shape
+    pad = jnp.pad(D, ((1, 1), (1, 1), (1, 1)), constant_values=0.0)
+    center = jnp.abs(D)
+    is_max = jnp.ones_like(D, dtype=bool)
+    is_min = jnp.ones_like(D, dtype=bool)
+    for ds in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if ds == dy == dx == 0:
+                    continue
+                nb = jax.lax.dynamic_slice(pad, (1 + ds, 1 + dy, 1 + dx), (S, H, W))
+                is_max &= D >= nb
+                is_min &= D <= nb
+    ext = (is_max | is_min) & (center > threshold)
+    # exclude image borders and the outermost scale slices
+    ext = ext.at[0].set(False).at[-1].set(False)
+    border = 8
+    mask = jnp.zeros((H, W), dtype=bool).at[border:-border, border:-border].set(True)
+    return ext & mask
+
+
+def _edge_response_ok(D: jnp.ndarray, edge_ratio: float = 10.0) -> jnp.ndarray:
+    """Reject edge-like extrema via the 2x2 spatial Hessian trace/det test."""
+    dxx = jnp.roll(D, -1, 2) + jnp.roll(D, 1, 2) - 2 * D
+    dyy = jnp.roll(D, -1, 1) + jnp.roll(D, 1, 1) - 2 * D
+    dxy = (
+        jnp.roll(jnp.roll(D, -1, 1), -1, 2)
+        - jnp.roll(jnp.roll(D, -1, 1), 1, 2)
+        - jnp.roll(jnp.roll(D, 1, 1), -1, 2)
+        + jnp.roll(jnp.roll(D, 1, 1), 1, 2)
+    ) * 0.25
+    tr = dxx + dyy
+    det = dxx * dyy - dxy * dxy
+    r = edge_ratio
+    return (det > 0) & (tr * tr * r < (r + 1) ** 2 * det)
+
+
+@partial(jax.jit, static_argnames=("max_keypoints", "num_scales"))
+def detect_keypoints(
+    img: jnp.ndarray,                # (H, W) grayscale float [0,1]
+    max_keypoints: int = 1024,
+    num_scales: int = 4,
+    threshold: float = 0.01,
+    sigma0: float = 1.6,
+) -> Keypoints:
+    """DoG extrema -> top-K keypoints (static K) with orientation."""
+    H, W = img.shape
+    G, D, sigmas = dog_stack(img, num_scales=num_scales, sigma0=sigma0)
+    ext = _local_extrema(D, threshold) & _edge_response_ok(D)
+    score = jnp.where(ext, jnp.abs(D), -jnp.inf)  # (S,H,W)
+
+    flat = score.reshape(-1)
+    vals, idx = jax.lax.top_k(flat, max_keypoints)
+    s_idx = idx // (H * W)
+    y_idx = (idx % (H * W)) // W
+    x_idx = idx % W
+    valid = jnp.isfinite(vals)
+
+    xy = jnp.stack([x_idx, y_idx], axis=-1).astype(jnp.float32)
+    kp_sigma = sigmas[s_idx + 1]  # DoG slice s uses gaussians s, s+1
+
+    # orientation from the blurred image gradients at the keypoint scale
+    gx = (jnp.roll(G, -1, 2) - jnp.roll(G, 1, 2)) * 0.5
+    gy = (jnp.roll(G, -1, 1) - jnp.roll(G, 1, 1)) * 0.5
+    mag = jnp.sqrt(gx * gx + gy * gy)
+    ori = jnp.arctan2(gy, gx)
+
+    angle = _dominant_orientation(mag, ori, s_idx + 1, x_idx, y_idx)
+    return Keypoints(
+        xy=xy, scale=kp_sigma, angle=angle,
+        score=jnp.where(valid, vals, 0.0), valid=valid,
+    )
+
+
+def _dominant_orientation(mag, ori, s_idx, x_idx, y_idx, radius: int = 8, bins: int = 36):
+    """Histogram of gradient orientations in a (2r+1)^2 window (Gaussian
+    weighted), vmapped over keypoints. Returns the peak-bin angle."""
+    offs = jnp.arange(-radius, radius + 1)
+    dy, dx = jnp.meshgrid(offs, offs, indexing="ij")
+    g = jnp.exp(-(dx ** 2 + dy ** 2) / (2.0 * (0.5 * radius) ** 2))
+    H, W = mag.shape[1], mag.shape[2]
+
+    def one(s, x, y):
+        ys = jnp.clip(y + dy, 0, H - 1)
+        xs = jnp.clip(x + dx, 0, W - 1)
+        m = mag[s, ys, xs] * g
+        o = ori[s, ys, xs]
+        b = jnp.floor((o + jnp.pi) / (2 * jnp.pi) * bins).astype(jnp.int32) % bins
+        hist = jnp.zeros(bins).at[b.reshape(-1)].add(m.reshape(-1))
+        peak = jnp.argmax(hist)
+        return (peak.astype(jnp.float32) + 0.5) / bins * 2 * jnp.pi - jnp.pi
+
+    return jax.vmap(one)(s_idx, x_idx, y_idx)
+
+
+# --------------------------------------------------------------- descriptor
+
+@partial(jax.jit, static_argnames=("patch_grid", "ori_bins"))
+def describe_keypoints(
+    img: jnp.ndarray, kps: Keypoints, patch_grid: int = 4, ori_bins: int = 8
+) -> jnp.ndarray:
+    """SIFT-style descriptors: (K, patch_grid^2 * ori_bins) float32, L2
+    normalized with 0.2 clipping. Patches are sampled on a rotated/scaled
+    grid around each keypoint (bilinear), gradients soft-binned into a
+    4x4 spatial x 8 orientation histogram."""
+    H, W = img.shape
+    gx_img = (jnp.roll(img, -1, 1) - jnp.roll(img, 1, 1)) * 0.5
+    gy_img = (jnp.roll(img, -1, 0) - jnp.roll(img, 1, 0)) * 0.5
+
+    # 16x16 sample grid in normalized patch coords [-1, 1)
+    n = 4 * patch_grid
+    lin = (jnp.arange(n) + 0.5) / n * 2.0 - 1.0
+    py, px = jnp.meshgrid(lin, lin, indexing="ij")  # (n, n)
+
+    def one(xy, sigma, angle):
+        ca, sa = jnp.cos(angle), jnp.sin(angle)
+        rad = 6.0 * sigma  # patch half-width in pixels
+        sx = (ca * px - sa * py) * rad + xy[0]
+        sy = (sa * px + ca * py) * rad + xy[1]
+        xs = jnp.clip(sx, 0, W - 1)
+        ys = jnp.clip(sy, 0, H - 1)
+        x0 = jnp.floor(xs).astype(jnp.int32)
+        y0 = jnp.floor(ys).astype(jnp.int32)
+        x1 = jnp.minimum(x0 + 1, W - 1)
+        y1 = jnp.minimum(y0 + 1, H - 1)
+        wx = xs - x0
+        wy = ys - y0
+
+        def samp(f):
+            return (
+                f[y0, x0] * (1 - wx) * (1 - wy)
+                + f[y0, x1] * wx * (1 - wy)
+                + f[y1, x0] * (1 - wx) * wy
+                + f[y1, x1] * wx * wy
+            )
+
+        gx = samp(gx_img)
+        gy = samp(gy_img)
+        # rotate gradients into the patch frame
+        rgx = ca * gx + sa * gy
+        rgy = -sa * gx + ca * gy
+        m = jnp.sqrt(rgx * rgx + rgy * rgy)
+        o = jnp.arctan2(rgy, rgx)
+
+        # soft spatial binning: each sample contributes to its cell
+        cell = patch_grid
+        cy_idx = jnp.clip(((py + 1) * 0.5 * cell).astype(jnp.int32), 0, cell - 1)
+        cx_idx = jnp.clip(((px + 1) * 0.5 * cell).astype(jnp.int32), 0, cell - 1)
+        ob = jnp.floor((o + jnp.pi) / (2 * jnp.pi) * ori_bins).astype(jnp.int32) % ori_bins
+        flat_bin = (cy_idx * cell + cx_idx) * ori_bins + ob
+        hist = jnp.zeros(cell * cell * ori_bins).at[flat_bin.reshape(-1)].add(m.reshape(-1))
+
+        v = hist / jnp.maximum(jnp.linalg.norm(hist), 1e-12)
+        v = jnp.minimum(v, 0.2)
+        return v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+
+    desc = jax.vmap(one)(kps.xy, kps.scale, kps.angle)
+    return jnp.where(kps.valid[:, None], desc, 0.0)
+
+
+def detect_and_describe(img: jnp.ndarray, max_keypoints: int = 1024, **kw):
+    """Convenience: grayscale (H,W) -> (Keypoints, descriptors (K,128))."""
+    kps = detect_keypoints(img, max_keypoints=max_keypoints, **kw)
+    return kps, describe_keypoints(img, kps)

@@ -1,0 +1,96 @@
+"""Descriptor matching: mutual nearest neighbors + Lowe ratio test.
+
+TPU-native replacement for COLMAP's sequential matcher (reference workflow
+`ref/software_record/colmap使用.docx` §2.3: sequential matching + vocab-tree
+loop detection). The score matrix is one (K, K) matmul on the MXU; top-2 and
+mutual checks are static-shape reductions, so the whole matcher vmaps over
+image pairs and shards over the `data` mesh axis. A fused Pallas kernel for
+the large-K regime (no K x K HBM materialization) lives in
+`tpu3drec/ops/matcher.py`; this module is the reference implementation and
+dispatch point.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Matches(NamedTuple):
+    idx_a: jnp.ndarray   # (M,) indices into A's keypoints
+    idx_b: jnp.ndarray   # (M,) indices into B's keypoints
+    score: jnp.ndarray   # (M,) similarity of accepted match
+    valid: jnp.ndarray   # (M,) bool
+
+
+@partial(jax.jit, static_argnames=("ratio", "use_pallas"))
+def match_descriptors(
+    desc_a: jnp.ndarray,   # (Ka, D) L2-normalized
+    desc_b: jnp.ndarray,   # (Kb, D)
+    valid_a: jnp.ndarray | None = None,
+    valid_b: jnp.ndarray | None = None,
+    ratio: float = 0.8,
+    use_pallas: bool = False,
+) -> Matches:
+    """Mutual-NN matches with ratio test; one row per A keypoint (static
+    shape), invalid rows masked. Similarity = dot product (descriptors are
+    unit-norm, so argmax similarity == argmin L2 distance)."""
+    if valid_a is None:
+        valid_a = jnp.ones(desc_a.shape[0], dtype=bool)
+    if valid_b is None:
+        valid_b = jnp.ones(desc_b.shape[0], dtype=bool)
+
+    if use_pallas:
+        from tpu3drec.ops.matcher import topk2_scores
+
+        best_b, top2 = topk2_scores(desc_a, desc_b, valid_b)
+        best_a_of_b, _ = topk2_scores(desc_b, desc_a, valid_a)
+        s1 = top2[:, 0]
+        s2 = top2[:, 1]
+    else:
+        scores = jnp.dot(desc_a, desc_b.T, preferred_element_type=jnp.float32)
+        scores = jnp.where(valid_b[None, :], scores, -jnp.inf)
+        top2, top2_idx = jax.lax.top_k(scores, 2)
+        best_b = top2_idx[:, 0]
+        s1, s2 = top2[:, 0], top2[:, 1]
+        scores_t = jnp.where(valid_a[None, :], scores.T, -jnp.inf)
+        best_a_of_b = jnp.argmax(scores_t, axis=1)
+
+    mutual = best_a_of_b[best_b] == jnp.arange(desc_a.shape[0])
+    # ratio test in distance space: d^2 = 2 - 2s for unit vectors
+    d1 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * s1, 0.0))
+    d2 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * s2, 0.0))
+    ratio_ok = d1 < ratio * d2
+    ok = mutual & ratio_ok & valid_a & jnp.isfinite(s1)
+    return Matches(
+        idx_a=jnp.arange(desc_a.shape[0], dtype=jnp.int32),
+        idx_b=best_b.astype(jnp.int32),
+        score=jnp.where(ok, s1, 0.0),
+        valid=ok,
+    )
+
+
+def match_pairs(descs: jnp.ndarray, valids: jnp.ndarray, pairs: jnp.ndarray,
+                ratio: float = 0.8) -> Matches:
+    """Batched matching over image pairs: descs (F, K, D), pairs (P, 2)
+    index rows. vmapped -> one big device dispatch for a whole sequence."""
+
+    def one(pair):
+        i, j = pair[0], pair[1]
+        return match_descriptors(descs[i], descs[j], valids[i], valids[j], ratio=ratio)
+
+    return jax.vmap(one)(pairs)
+
+
+def sequential_pairs(n_frames: int, overlap: int = 3) -> jnp.ndarray:
+    """COLMAP sequential-matching pair list: each frame vs the next
+    `overlap` frames (the reference's matching mode, colmap使用.docx §2.3)."""
+    pairs = [
+        (i, j)
+        for i in range(n_frames)
+        for j in range(i + 1, min(i + 1 + overlap, n_frames))
+    ]
+    return jnp.asarray(pairs, dtype=jnp.int32)
