@@ -1,0 +1,112 @@
+"""Perspective-n-Point camera registration with device-batched RANSAC.
+
+The "register next view" step of the COLMAP-replacement (SURVEY.md C3).
+Pipeline: DLT over minimal 6-point samples (vmapped SVDs, one dispatch for
+all hypotheses) -> inlier scoring by reprojection -> weighted DLT refit ->
+fixed-iteration Gauss-Newton polish on the se(3) parameters (lax.scan, so
+the whole solver jits).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu3drec.core.se3 import axis_angle_to_matrix, matrix_to_axis_angle
+from tpu3drec.sfm.triangulate import reprojection_errors
+
+
+def _dlt_pose(X: jnp.ndarray, xn: jnp.ndarray, w: jnp.ndarray):
+    """Weighted DLT for P = [R|t] from world points X (N,3) and normalized
+    image coords xn (N,2). Returns (R, t) with R orthogonalized."""
+    N = X.shape[0]
+    Xh = jnp.concatenate([X, jnp.ones((N, 1), X.dtype)], axis=-1)  # (N,4)
+    zeros = jnp.zeros_like(Xh)
+    rows_u = jnp.concatenate([Xh, zeros, -xn[:, 0:1] * Xh], axis=-1)  # (N,12)
+    rows_v = jnp.concatenate([zeros, Xh, -xn[:, 1:2] * Xh], axis=-1)
+    A = jnp.concatenate([rows_u * w[:, None], rows_v * w[:, None]], axis=0)
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=False)
+    P = Vt[-1].reshape(3, 4)
+    M = P[:, :3]
+    # fix sign so points land in front (positive depth on the weighted mean)
+    Xm = jnp.einsum("n,ni->i", w, X) / jnp.maximum(jnp.sum(w), 1e-12)
+    sign = jnp.sign(M[2] @ Xm + P[2, 3])
+    P = P * jnp.where(sign == 0, 1.0, sign)
+    M = P[:, :3]
+    # orthogonalize: R = UV^T of M, scale = mean singular value
+    U, S, Vt2 = jnp.linalg.svd(M)
+    D = jnp.diag(jnp.array([1.0, 1.0, jnp.linalg.det(U @ Vt2)], dtype=X.dtype))
+    R = U @ D @ Vt2
+    scale = jnp.mean(S)
+    t = P[:, 3] / jnp.maximum(scale, 1e-12)
+    return R, t
+
+
+def _gn_refine(R0, t0, X, xn, w, iters: int = 10):
+    """Gauss-Newton on (axis-angle, t) minimizing weighted normalized-coords
+    reprojection. Static iteration count under lax.scan."""
+    aa0 = matrix_to_axis_angle(R0)
+    params0 = jnp.concatenate([aa0, t0])
+
+    def residual(params):
+        R = axis_angle_to_matrix(params[:3])
+        t = params[3:]
+        Xc = X @ R.T + t
+        z = jnp.where(jnp.abs(Xc[:, 2]) < 1e-9, 1e-9, Xc[:, 2])
+        proj = Xc[:, :2] / z[:, None]
+        return ((proj - xn) * w[:, None]).reshape(-1)
+
+    def step(params, _):
+        r = residual(params)
+        J = jax.jacfwd(residual)(params)  # (2N, 6)
+        H = J.T @ J + 1e-8 * jnp.eye(6, dtype=params.dtype)
+        g = J.T @ r
+        return params - jnp.linalg.solve(H, g), None
+
+    params, _ = jax.lax.scan(step, params0, None, length=iters)
+    return axis_angle_to_matrix(params[:3]), params[3:]
+
+
+class PnPResult(NamedTuple):
+    R: jnp.ndarray
+    t: jnp.ndarray
+    inliers: jnp.ndarray
+    n_inliers: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("num_hypotheses", "gn_iters"))
+def pnp_ransac(
+    X: jnp.ndarray,      # (N, 3) world points
+    uv: jnp.ndarray,     # (N, 2) pixel observations
+    valid: jnp.ndarray,  # (N,) bool
+    K: jnp.ndarray,
+    rng_key,
+    num_hypotheses: int = 256,
+    inlier_px: float = 3.0,
+    gn_iters: int = 10,
+) -> PnPResult:
+    """World->camera pose from 2D-3D correspondences."""
+    xn = jnp.stack(
+        [(uv[:, 0] - K[0, 2]) / K[0, 0], (uv[:, 1] - K[1, 2]) / K[1, 1]], axis=-1
+    )
+    logits = jnp.where(valid, 0.0, -jnp.inf)
+    samples = jax.random.categorical(rng_key, logits, shape=(num_hypotheses, 6))
+
+    def solve(sample):
+        return _dlt_pose(X[sample], xn[sample], jnp.ones(6, X.dtype))
+
+    Rs, ts = jax.vmap(solve)(samples)
+    errs = jax.vmap(lambda R, t: reprojection_errors(X, R, t, K, uv))(Rs, ts)
+    inl = (errs < inlier_px) & valid[None, :]
+    best = jnp.argmax(jnp.sum(inl, axis=1))
+
+    w = inl[best].astype(X.dtype)
+    R, t = _dlt_pose(X, xn, w)
+    R, t = _gn_refine(R, t, X, xn, w, iters=gn_iters)
+    final = reprojection_errors(X, R, t, K, uv)
+    inliers = (final < inlier_px) & valid
+    return PnPResult(R=R, t=t, inliers=inliers,
+                     n_inliers=jnp.sum(inliers).astype(jnp.int32))
