@@ -1,0 +1,116 @@
+"""Bundle adjustment tests: synthetic multi-view scenes with known optimum."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial.transform import Rotation as ScipyR
+
+from tpu3drec.core.se3 import axis_angle_to_matrix, matrix_to_axis_angle
+from tpu3drec.sfm.ba import BAProblem, ba_solve, residuals
+
+K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]], np.float32)
+
+
+def _make_problem(rng, F=6, L=120, noise_px=0.0, perturb=0.0, outlier_frac=0.0):
+    """Cameras on an arc looking at a point cloud; full visibility."""
+    X = rng.uniform([-2, -2, 6], [2, 2, 12], size=(L, 3)).astype(np.float32)
+    cams = []
+    for f in range(F):
+        angle = 0.08 * (f - F / 2)
+        Rm = ScipyR.from_rotvec([0, angle, 0]).as_matrix()
+        t = np.array([-1.5 * angle * 8, 0.02 * f, 0.05 * f])
+        cams.append((Rm.astype(np.float32), t.astype(np.float32)))
+
+    cam_idx, pt_idx, uvs = [], [], []
+    for f, (Rm, t) in enumerate(cams):
+        Xc = X @ Rm.T + t
+        uv = Xc[:, :2] / Xc[:, 2:3]
+        uv = uv * [K[0, 0], K[1, 1]] + [K[0, 2], K[1, 2]]
+        cam_idx += [f] * L
+        pt_idx += list(range(L))
+        uvs.append(uv)
+    uv = np.concatenate(uvs).astype(np.float32)
+    if noise_px:
+        uv += rng.normal(0, noise_px, size=uv.shape).astype(np.float32)
+    O = len(cam_idx)
+    weight = np.ones(O, np.float32)
+    if outlier_frac:
+        n_out = int(outlier_frac * O)
+        idx = rng.permutation(O)[:n_out]
+        uv[idx] += rng.uniform(30, 120, size=(n_out, 2)).astype(np.float32)
+
+    cam_params = np.stack([
+        np.concatenate([
+            np.asarray(matrix_to_axis_angle(jnp.asarray(Rm))), t
+        ]) for Rm, t in cams
+    ]).astype(np.float32)
+    gt_cam_params = cam_params.copy()
+    points = X.copy()
+    if perturb:
+        cam_params = cam_params + np.concatenate(
+            [np.zeros((1, 6)), rng.normal(0, perturb, size=(F - 1, 6))]
+        ).astype(np.float32)
+        points = X + rng.normal(0, perturb * 10, size=X.shape).astype(np.float32)
+
+    prob = BAProblem(
+        cam_params=jnp.asarray(cam_params),
+        points=jnp.asarray(points),
+        cam_idx=jnp.asarray(cam_idx, dtype=jnp.int32),
+        pt_idx=jnp.asarray(pt_idx, dtype=jnp.int32),
+        uv=jnp.asarray(uv),
+        weight=jnp.asarray(weight),
+        K=jnp.asarray(K),
+    )
+    return prob, gt_cam_params, X
+
+
+def test_residuals_zero_at_gt(rng):
+    prob, _, _ = _make_problem(rng)
+    r = np.asarray(residuals(prob))
+    assert np.abs(r).max() < 1e-2
+
+
+def test_ba_recovers_from_perturbation(rng):
+    prob, gt_cams, gt_X = _make_problem(rng, perturb=0.01)
+    r0 = np.abs(np.asarray(residuals(prob))).mean()
+    assert r0 > 1.0  # perturbation is visible
+    res = ba_solve(prob, max_lm_iters=25, cg_iters=30)
+    assert float(res.final_cost) < float(res.initial_cost) * 1e-4
+    r1 = np.abs(np.asarray(residuals(prob._replace(
+        cam_params=res.cam_params, points=res.points)))).mean()
+    assert r1 < 1e-2
+    # gauge-fixed camera stayed put
+    np.testing.assert_allclose(np.asarray(res.cam_params)[0], gt_cams[0], atol=1e-6)
+
+
+def test_ba_with_noise_converges_to_noise_floor(rng):
+    prob, _, _ = _make_problem(rng, noise_px=0.5, perturb=0.005)
+    res = ba_solve(prob, max_lm_iters=25, cg_iters=30)
+    r = np.asarray(residuals(prob._replace(
+        cam_params=res.cam_params, points=res.points)))
+    rms = np.sqrt((r ** 2).mean())
+    assert rms < 1.0  # close to the 0.5px noise floor
+
+
+def test_ba_huber_downweights_outliers(rng):
+    prob, gt_cams, gt_X = _make_problem(rng, perturb=0.005, outlier_frac=0.05)
+    res = ba_solve(prob, max_lm_iters=30, cg_iters=30, huber_px=2.0)
+    # inlier residuals should still be near zero despite 5% gross outliers
+    r = np.asarray(residuals(prob._replace(
+        cam_params=res.cam_params, points=res.points)))
+    norms = np.linalg.norm(r, axis=-1)
+    assert np.median(norms) < 0.5
+
+
+def test_ba_respects_weights_mask(rng):
+    prob, _, _ = _make_problem(rng, perturb=0.01)
+    # corrupt a block of observations but zero their weights
+    uv = np.asarray(prob.uv).copy()
+    uv[:50] += 500.0
+    w = np.asarray(prob.weight).copy()
+    w[:50] = 0.0
+    prob = prob._replace(uv=jnp.asarray(uv), weight=jnp.asarray(w))
+    res = ba_solve(prob, max_lm_iters=25, cg_iters=30)
+    r = np.asarray(residuals(prob._replace(
+        cam_params=res.cam_params, points=res.points)))[50:]
+    assert np.abs(r).mean() < 1e-2

@@ -1,0 +1,223 @@
+"""Bundle adjustment: Levenberg-Marquardt with an iterative Schur complement.
+
+The COLMAP/Ceres-class core the reference outsources (SURVEY.md C3:
+"bundle adjustment ... poses with unknown scale"). TPU-first design:
+
+* **Static sparsity**: observations are flat arrays (cam_idx, pt_idx, uv,
+  weight); padded slots carry weight 0. No CSR, no dynamic structures.
+* **Schur complement without materializing S**: the reduced camera system
+  S dc = b~ is solved by preconditioned CG where each S.v product is four
+  segment-gather/scatter passes over the observation array
+  (U v - W V^{-1} W^T v). Landmark blocks V are 3x3 diagonal-block
+  inverses, camera blocks U the 6x6 block-Jacobi preconditioner.
+* **Distribution**: every reduction is a `segment_sum` over observations —
+  shard the observation arrays over the mesh and XLA lowers the reductions
+  to psums over ICI (the "distributed Schur-complement BA" of SURVEY.md
+  §2.3/§7; the explicit shard_map harness lives in parallel/).
+* **Robustness**: Huber weights re-evaluated each LM iteration (IRLS).
+* Gauge: a per-camera update mask (default: camera 0 frozen).
+
+Per-observation Jacobians come from vmapped `jacfwd` of the single-
+observation projection — closed-form speed with none of the transcription
+risk; the Pallas fused-assembly variant lives in `ops/ba_blocks.py`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu3drec.core.se3 import axis_angle_to_matrix
+
+
+class BAProblem(NamedTuple):
+    cam_params: jnp.ndarray  # (F, 6) [axis-angle | translation], world->cam
+    points: jnp.ndarray      # (L, 3)
+    cam_idx: jnp.ndarray     # (O,) int32
+    pt_idx: jnp.ndarray      # (O,) int32
+    uv: jnp.ndarray          # (O, 2) pixel observations
+    weight: jnp.ndarray      # (O,) 0 = padding/invalid
+    K: jnp.ndarray           # (3, 3) shared intrinsics
+
+
+class BAResult(NamedTuple):
+    cam_params: jnp.ndarray
+    points: jnp.ndarray
+    initial_cost: jnp.ndarray
+    final_cost: jnp.ndarray
+    n_iters: jnp.ndarray
+
+
+def _project_one(cam, X, K):
+    """One observation's residual basis: world point -> pixel coords."""
+    R = axis_angle_to_matrix(cam[:3])
+    Xc = R @ X + cam[3:]
+    z = jnp.where(jnp.abs(Xc[2]) < 1e-9, 1e-9, Xc[2])
+    u = Xc[0] / z * K[0, 0] + K[0, 2]
+    v = Xc[1] / z * K[1, 1] + K[1, 2]
+    return jnp.stack([u, v])
+
+
+def residuals(p: BAProblem) -> jnp.ndarray:
+    """(O, 2) reprojection residuals (prediction - measurement)."""
+    cams = p.cam_params[p.cam_idx]
+    pts = p.points[p.pt_idx]
+    pred = jax.vmap(_project_one, in_axes=(0, 0, None))(cams, pts, p.K)
+    return pred - p.uv
+
+
+def huber_weights(r: jnp.ndarray, delta: float) -> jnp.ndarray:
+    """IRLS weights for the Huber loss on the residual norm, (O,)."""
+    n = jnp.linalg.norm(r, axis=-1)
+    return jnp.where(n <= delta, 1.0, delta / jnp.maximum(n, 1e-12))
+
+
+def _obs_jacobians(p: BAProblem):
+    """Per-observation Jacobians: (O,2,6) wrt camera, (O,2,3) wrt point."""
+    cams = p.cam_params[p.cam_idx]
+    pts = p.points[p.pt_idx]
+
+    def one(cam, X):
+        Jc = jax.jacfwd(lambda c: _project_one(c, X, p.K))(cam)
+        Jp = jax.jacfwd(lambda x: _project_one(cam, x, p.K))(X)
+        return Jc, Jp
+
+    return jax.vmap(one)(cams, pts)
+
+
+def _seg_sum(vals, idx, num):
+    return jax.ops.segment_sum(vals, idx, num_segments=num)
+
+
+def _solve_spd_blocks(blocks, rhs):
+    """Batched solve of small SPD systems (B, n, n) x (B, n)."""
+    return jnp.linalg.solve(blocks, rhs[..., None])[..., 0]
+
+
+@partial(jax.jit, static_argnames=("max_lm_iters", "cg_iters"))
+def ba_solve(
+    p: BAProblem,
+    max_lm_iters: int = 20,
+    cg_iters: int = 20,
+    huber_px: float = 2.0,
+    init_lambda: float = 1e-3,
+    fix_cam_mask: jnp.ndarray | None = None,
+) -> BAResult:
+    """Run LM. `fix_cam_mask` (F,) 1.0 = free, 0.0 = frozen (default:
+    camera 0 frozen for gauge)."""
+    F = p.cam_params.shape[0]
+    L = p.points.shape[0]
+    if fix_cam_mask is None:
+        fix_cam_mask = jnp.concatenate([jnp.zeros(1), jnp.ones(F - 1)])
+    cam_free = fix_cam_mask[:, None]  # (F,1)
+
+    def cost_of(cam_params, points):
+        r = residuals(p._replace(cam_params=cam_params, points=points))
+        n = jnp.linalg.norm(r, axis=-1)
+        # Huber objective
+        c = jnp.where(
+            n <= huber_px, 0.5 * n ** 2, huber_px * (n - 0.5 * huber_px)
+        )
+        return jnp.sum(c * p.weight)
+
+    init_cost = cost_of(p.cam_params, p.points)
+
+    def lm_step(carry, _):
+        cam_params, points, lam, cost, done = carry
+        prob = p._replace(cam_params=cam_params, points=points)
+        r = residuals(prob)  # (O,2)
+        w = p.weight * huber_weights(r, huber_px)  # (O,)
+        Jc, Jp = _obs_jacobians(prob)  # (O,2,6), (O,2,3)
+
+        wJc = Jc * w[:, None, None]
+        wJp = Jp * w[:, None, None]
+        # normal-equation blocks
+        U = _seg_sum(jnp.einsum("oia,oib->oab", wJc, Jc), p.cam_idx, F)  # (F,6,6)
+        V = _seg_sum(jnp.einsum("oia,oib->oab", wJp, Jp), p.pt_idx, L)   # (L,3,3)
+        b_c = -_seg_sum(jnp.einsum("oia,oi->oa", wJc, r), p.cam_idx, F)  # (F,6)
+        b_p = -_seg_sum(jnp.einsum("oia,oi->oa", wJp, r), p.pt_idx, L)   # (L,3)
+
+        # additive damping (Levenberg): U + lam I, V + lam I
+        U_l = U + lam * jnp.eye(6)[None]
+        V_l = V + lam * jnp.eye(3)[None]
+        V_inv = jnp.linalg.inv(V_l + 1e-12 * jnp.eye(3)[None])
+
+        # reduced RHS: b~ = b_c - W V^-1 b_p, assembled per observation
+        y = jnp.einsum("lab,lb->la", V_inv, b_p)  # (L,3)
+        Wy = jnp.einsum("oia,oib,ob->oa", wJc, Jp, y[p.pt_idx])  # (O,6)
+        b_tilde = b_c - _seg_sum(Wy, p.cam_idx, F)  # (F,6)
+        b_tilde = b_tilde * cam_free
+
+        # preconditioner: block-Jacobi on U_l
+        U_inv = jnp.linalg.inv(U_l + 1e-12 * jnp.eye(6)[None])
+
+        def S_matvec(v):  # v (F,6)
+            v = v * cam_free
+            Uv = jnp.einsum("fab,fb->fa", U_l, v)
+            # W^T v per landmark: sum over obs of Jp^T w Jc v_cam
+            JcV = jnp.einsum("oib,ob->oi", Jc, v[p.cam_idx])        # (O,2)
+            WtV = _seg_sum(jnp.einsum("oia,oi->oa", wJp, JcV), p.pt_idx, L)  # (L,3)
+            z = jnp.einsum("lab,lb->la", V_inv, WtV)                # (L,3)
+            Jpz = jnp.einsum("oib,ob->oi", Jp, z[p.pt_idx])         # (O,2)
+            WVWt = _seg_sum(jnp.einsum("oia,oi->oa", wJc, Jpz), p.cam_idx, F)
+            return (Uv - WVWt) * cam_free
+
+        def M_inv(v):
+            return jnp.einsum("fab,fb->fa", U_inv, v) * cam_free
+
+        # PCG on S dc = b_tilde
+        x0 = jnp.zeros_like(b_tilde)
+        r0 = b_tilde
+        z0 = M_inv(r0)
+        p0 = z0
+
+        def cg_body(carry, _):
+            x, rr, z, pd, rz = carry
+            Sp = S_matvec(pd)
+            alpha = rz / jnp.maximum(jnp.sum(pd * Sp), 1e-20)
+            x = x + alpha * pd
+            rr = rr - alpha * Sp
+            z = M_inv(rr)
+            rz_new = jnp.sum(rr * z)
+            beta = rz_new / jnp.maximum(rz, 1e-20)
+            pd = z + beta * pd
+            return (x, rr, z, pd, rz_new), None
+
+        (dc, _, _, _, _), _ = jax.lax.scan(
+            cg_body, (x0, r0, z0, p0, jnp.sum(r0 * z0)), None, length=cg_iters
+        )
+
+        # back-substitute landmarks: dp = V^-1 (b_p - W^T dc)
+        Jcdc = jnp.einsum("oib,ob->oi", Jc, dc[p.cam_idx])  # (O,2)
+        Wtdc = _seg_sum(jnp.einsum("oia,oi->oa", wJp, Jcdc), p.pt_idx, L)
+        dp = jnp.einsum("lab,lb->la", V_inv, b_p - Wtdc)
+
+        new_cams = cam_params + (dc * cam_free).reshape(F, 6)
+        new_points = points + dp
+        new_cost = cost_of(new_cams, new_points)
+        accept = new_cost < cost
+
+        cam_params = jnp.where(accept, new_cams, cam_params)
+        points = jnp.where(accept, new_points, points)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.3, 1e-9),
+                        jnp.minimum(lam * 5.0, 1e6))
+        cost_out = jnp.where(accept, new_cost, cost)
+        rel = jnp.abs(cost - cost_out) / jnp.maximum(cost, 1e-12)
+        done = done | (accept & (rel < 1e-7))
+        return (cam_params, points, lam, cost_out, done), cost_out
+
+    (cams, pts, _, final_cost, _), _ = jax.lax.scan(
+        lm_step,
+        (p.cam_params, p.points, jnp.asarray(init_lambda, p.cam_params.dtype),
+         init_cost, jnp.asarray(False)),
+        None,
+        length=max_lm_iters,
+    )
+    return BAResult(
+        cam_params=cams, points=pts,
+        initial_cost=init_cost, final_cost=final_cost,
+        n_iters=jnp.asarray(max_lm_iters, jnp.int32),
+    )
