@@ -112,7 +112,14 @@ def ba_solve(
     L = p.points.shape[0]
     if fix_cam_mask is None:
         fix_cam_mask = jnp.concatenate([jnp.zeros(1), jnp.ones(F - 1)])
-    cam_free = fix_cam_mask[:, None]  # (F,1)
+    # accept per-camera (F,) or per-parameter (F,6) masks; reprojection-only
+    # BA has a 7-dof gauge (global SE3 + scale), so callers typically freeze
+    # camera 0 fully and camera 1's translation (scale anchor)
+    fix_cam_mask = jnp.asarray(fix_cam_mask)
+    if fix_cam_mask.ndim == 1:
+        cam_free = fix_cam_mask[:, None]  # (F,1) broadcasting over 6 params
+    else:
+        cam_free = fix_cam_mask  # (F,6)
 
     def cost_of(cam_params, points):
         r = residuals(p._replace(cam_params=cam_params, points=points))

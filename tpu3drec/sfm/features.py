@@ -132,7 +132,31 @@ def detect_keypoints(
     x_idx = idx % W
     valid = jnp.isfinite(vals)
 
-    xy = jnp.stack([x_idx, y_idx], axis=-1).astype(jnp.float32)
+    # subpixel refinement: 2D quadratic fit on the DoG slice, offset
+    # -H^{-1} g clamped to +-0.5 (a half-pixel bias would dominate the
+    # epipolar signal at typical parallax magnitudes)
+    def refine(s, y, x):
+        c = D[s, y, x]
+        gx = 0.5 * (D[s, y, x + 1] - D[s, y, x - 1])
+        gy = 0.5 * (D[s, y + 1, x] - D[s, y - 1, x])
+        hxx = D[s, y, x + 1] + D[s, y, x - 1] - 2 * c
+        hyy = D[s, y + 1, x] + D[s, y - 1, x] - 2 * c
+        hxy = 0.25 * (
+            D[s, y + 1, x + 1] - D[s, y + 1, x - 1]
+            - D[s, y - 1, x + 1] + D[s, y - 1, x - 1]
+        )
+        det = hxx * hyy - hxy * hxy
+        det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+        ox = -(hyy * gx - hxy * gy) / det
+        oy = -(-hxy * gx + hxx * gy) / det
+        return jnp.clip(jnp.stack([ox, oy]), -0.5, 0.5)
+
+    # clamp indices so the +-1 stencils stay in range (borders are already
+    # excluded from the extrema mask)
+    y_c = jnp.clip(y_idx, 1, H - 2)
+    x_c = jnp.clip(x_idx, 1, W - 2)
+    offsets = jax.vmap(refine)(s_idx, y_c, x_c)
+    xy = jnp.stack([x_idx, y_idx], axis=-1).astype(jnp.float32) + offsets
     kp_sigma = sigmas[s_idx + 1]  # DoG slice s uses gaussians s, s+1
 
     # orientation from the blurred image gradients at the keypoint scale
@@ -234,7 +258,16 @@ def describe_keypoints(
     return jnp.where(kps.valid[:, None], desc, 0.0)
 
 
-def detect_and_describe(img: jnp.ndarray, max_keypoints: int = 1024, **kw):
-    """Convenience: grayscale (H,W) -> (Keypoints, descriptors (K,128))."""
+def detect_and_describe(
+    img: jnp.ndarray, max_keypoints: int = 1024, upright: bool = False, **kw
+):
+    """Convenience: grayscale (H,W) -> (Keypoints, descriptors (K,128)).
+
+    ``upright=True`` skips rotation normalization — more stable and ~2x the
+    match yield on forward-motion video (KITTI-style), where roll is
+    negligible and dominant-orientation estimates flap on symmetric corners.
+    """
     kps = detect_keypoints(img, max_keypoints=max_keypoints, **kw)
+    if upright:
+        kps = kps._replace(angle=jnp.zeros_like(kps.angle))
     return kps, describe_keypoints(img, kps)

@@ -1,0 +1,312 @@
+"""Incremental SfM driver: the COLMAP-replacement reconstruction loop.
+
+Replaces the reference's manual COLMAP GUI workflow (SURVEY.md C3;
+`ref/software_record/colmap使用.docx`: SIFT extract -> sequential match ->
+incremental reconstruction -> export txt) with one callable. Architecture
+per SURVEY.md §7 "hard parts": the outer view-registration loop is host
+Python (inherently sequential, tiny), while every numeric stage inside is
+a batched device dispatch — detection/description over all frames at once,
+all pair matches in one vmap, RANSAC hypothesis batches, BA with
+observation arrays.
+
+Track building uses a host union-find over keypoint matches (dynamic
+structure, negligible cost next to device work).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu3drec.core.se3 import axis_angle_to_matrix, matrix_to_axis_angle
+from tpu3drec.sfm.ba import BAProblem, ba_solve
+from tpu3drec.sfm.features import detect_and_describe
+from tpu3drec.sfm.matching import match_descriptors, sequential_pairs
+from tpu3drec.sfm.pnp import pnp_ransac
+from tpu3drec.sfm.triangulate import (
+    projection_matrix,
+    triangulate_two_view,
+    reprojection_errors,
+)
+from tpu3drec.sfm.twoview import estimate_relative_pose
+
+
+@dataclass
+class Reconstruction:
+    """Host-side reconstruction state."""
+
+    K: np.ndarray
+    poses: dict = field(default_factory=dict)      # frame -> (R, t) world->cam
+    points: dict = field(default_factory=dict)     # track id -> (3,) world
+    tracks: dict = field(default_factory=dict)     # track id -> {frame: kp_idx}
+    keypoints: np.ndarray | None = None            # (F, Kp, 2)
+    scale_anchor: int = 1                          # frame whose translation fixes scale
+
+    def registered_frames(self):
+        return sorted(self.poses.keys())
+
+    def cameras_as_params(self):
+        frames = self.registered_frames()
+        out = np.zeros((len(frames), 6), np.float32)
+        for i, f in enumerate(frames):
+            R, t = self.poses[f]
+            out[i, :3] = np.asarray(matrix_to_axis_angle(jnp.asarray(R)))
+            out[i, 3:] = t
+        return frames, out
+
+
+class _UnionFind:
+    def __init__(self):
+        self.parent = {}
+
+    def find(self, x):
+        p = self.parent.setdefault(x, x)
+        if p != x:
+            self.parent[x] = p = self.find(p)
+        return p
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[rb] = ra
+
+
+def build_tracks(pair_matches: dict) -> dict:
+    """{(i, j): (idx_a, idx_b)} keypoint matches -> {track: {frame: kp}}.
+    Tracks with conflicting observations (two kps of one frame) are dropped."""
+    uf = _UnionFind()
+    for (i, j), (ia, ib) in pair_matches.items():
+        for a, b in zip(ia, ib):
+            uf.union((i, int(a)), (j, int(b)))
+    groups = {}
+    for node in list(uf.parent):
+        groups.setdefault(uf.find(node), []).append(node)
+    tracks = {}
+    tid = 0
+    for members in groups.values():
+        if len(members) < 2:
+            continue
+        frames = [f for f, _ in members]
+        if len(set(frames)) != len(frames):
+            continue  # inconsistent track
+        tracks[tid] = {f: k for f, k in members}
+        tid += 1
+    return tracks
+
+
+def run_sfm(
+    images: np.ndarray,          # (F, H, W) grayscale float [0,1]
+    K: np.ndarray,
+    max_keypoints: int = 512,
+    overlap: int = 3,
+    ba_every: int = 3,
+    min_track_len: int = 2,
+    seed: int = 0,
+    upright: bool = True,
+    ratio: float = 0.85,
+    verbose: bool = False,
+) -> Reconstruction:
+    """Full incremental reconstruction of a sequential image set."""
+    F = images.shape[0]
+    rngs = jax.random.split(jax.random.PRNGKey(seed), F + 8)
+    rec = Reconstruction(K=np.asarray(K, np.float32))
+
+    # 1. detection + description, batched over frames
+    detect_batch = jax.vmap(
+        lambda im: detect_and_describe(im, max_keypoints=max_keypoints, upright=upright)
+    )
+    kps, descs = detect_batch(jnp.asarray(images, dtype=jnp.float32))
+    xy = np.asarray(kps.xy)          # (F, Kp, 2)
+    valid = np.asarray(kps.valid)
+    rec.keypoints = xy
+
+    # 2. sequential matching
+    pairs = np.asarray(sequential_pairs(F, overlap=overlap))
+    pair_matches = {}
+    for (i, j) in pairs:
+        m = match_descriptors(descs[i], descs[j], kps.valid[i], kps.valid[j], ratio=ratio)
+        sel = np.asarray(m.valid)
+        pair_matches[(int(i), int(j))] = (
+            np.asarray(m.idx_a)[sel], np.asarray(m.idx_b)[sel]
+        )
+
+    tracks = build_tracks(pair_matches)
+    rec.tracks = tracks
+    if verbose:
+        print(f"[sfm] {len(tracks)} tracks from {len(pair_matches)} pairs")
+
+    # 3. two-view initialization: widest well-conditioned pair (i, j) with
+    # frame 0 (COLMAP-style: enough matches AND enough triangulation angle,
+    # colmap使用.docx §2.4's init heuristic rebuilt)
+    init_pair = None
+    for k in range(min(overlap, F - 1), 0, -1):
+        if (0, k) not in pair_matches:
+            continue
+        ia, ib = pair_matches[(0, k)]
+        if len(ia) < 16:
+            continue
+        uv1 = np.zeros((max_keypoints, 2), np.float32)
+        uv2 = np.zeros((max_keypoints, 2), np.float32)
+        vmask = np.zeros(max_keypoints, bool)
+        uv1[: len(ia)] = xy[0, ia]
+        uv2[: len(ib)] = xy[k, ib]
+        vmask[: len(ia)] = True
+        tv = estimate_relative_pose(
+            jnp.asarray(uv1), jnp.asarray(uv2), jnp.asarray(vmask),
+            jnp.asarray(rec.K), rngs[0],
+        )
+        if int(tv.n_inliers) < max(12, int(0.5 * len(ia))):
+            continue
+        init_pair = (k, np.asarray(tv.R), np.asarray(tv.t))
+        break
+    if init_pair is None:
+        raise ValueError("no pair with enough matches to initialize")
+    k, R1, t1 = init_pair
+    rec.poses[0] = (np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
+    rec.poses[k] = (R1, t1.astype(np.float32))
+    rec.scale_anchor = k
+
+    _triangulate_new(rec, tracks, xy, min_track_len)
+    _run_ba(rec, tracks, xy)  # polish the seed before growing (COLMAP-style)
+    if verbose:
+        print(f"[sfm] init pair (0, {k}): {len(rec.points)} landmarks")
+
+    # 4. incremental registration; two passes so frames that lacked
+    # landmarks on the first visit get a second chance after BA
+    for _pass in range(2):
+        for f in range(F):
+            if f in rec.poses:
+                continue
+            X2d, X3d, tids = [], [], []
+            for tid, obs in tracks.items():
+                if tid in rec.points and f in obs:
+                    X3d.append(rec.points[tid])
+                    X2d.append(xy[f, obs[f]])
+                    tids.append(tid)
+            if len(X3d) < 8:
+                if verbose:
+                    print(f"[sfm] frame {f}: only {len(X3d)} 2D-3D, skipping")
+                continue
+            n = len(X3d)
+            cap = max(64, 1 << (n - 1).bit_length())
+            Xp = np.zeros((cap, 3), np.float32)
+            up = np.zeros((cap, 2), np.float32)
+            vm = np.zeros(cap, bool)
+            Xp[:n] = np.asarray(X3d)
+            up[:n] = np.asarray(X2d)
+            vm[:n] = True
+            res = pnp_ransac(
+                jnp.asarray(Xp), jnp.asarray(up), jnp.asarray(vm),
+                jnp.asarray(rec.K), rngs[f],
+            )
+            n_inl = int(res.n_inliers)
+            if n_inl < max(8, int(0.3 * n)):
+                if verbose:
+                    print(f"[sfm] frame {f}: PnP rejected ({n_inl}/{n} inliers)")
+                continue
+            rec.poses[f] = (np.asarray(res.R), np.asarray(res.t))
+            _triangulate_new(rec, tracks, xy, min_track_len)
+
+            if (len(rec.poses) % ba_every == 0):
+                _run_ba(rec, tracks, xy)
+            if verbose:
+                print(f"[sfm] frame {f}: {n_inl}/{n} PnP inliers, "
+                      f"{len(rec.points)} landmarks")
+
+    _run_ba(rec, tracks, xy)
+    return rec
+
+
+def _triangulate_new(rec: Reconstruction, tracks, xy, min_track_len):
+    """Triangulate tracks seen in >=2 registered frames, batched."""
+    todo = []
+    for tid, obs in tracks.items():
+        if tid in rec.points:
+            continue
+        reg = [f for f in obs if f in rec.poses]
+        if len(reg) >= max(2, min_track_len):
+            f1, f2 = reg[0], reg[-1]
+            todo.append((tid, f1, f2, obs[f1], obs[f2]))
+    if not todo:
+        return
+    # group by frame pair for batched dispatch
+    by_pair = {}
+    for tid, f1, f2, k1, k2 in todo:
+        by_pair.setdefault((f1, f2), []).append((tid, k1, k2))
+    Kj = jnp.asarray(rec.K)
+    for (f1, f2), items in by_pair.items():
+        R1, t1 = rec.poses[f1]
+        R2, t2 = rec.poses[f2]
+        P1 = projection_matrix(jnp.asarray(R1), jnp.asarray(t1), Kj)
+        P2 = projection_matrix(jnp.asarray(R2), jnp.asarray(t2), Kj)
+        u1 = jnp.asarray(np.stack([xy[f1, k1] for _, k1, _ in items]))
+        u2 = jnp.asarray(np.stack([xy[f2, k2] for _, _, k2 in items]))
+        X = triangulate_two_view(P1, P2, u1, u2)
+        # cheirality + reprojection sanity
+        e1 = np.asarray(reprojection_errors(X, jnp.asarray(R1), jnp.asarray(t1), Kj, u1))
+        e2 = np.asarray(reprojection_errors(X, jnp.asarray(R2), jnp.asarray(t2), Kj, u2))
+        z1 = (np.asarray(X) @ R1.T + t1)[:, 2]
+        z2 = (np.asarray(X) @ R2.T + t2)[:, 2]
+        ok = (e1 < 4.0) & (e2 < 4.0) & (z1 > 0) & (z2 > 0)
+        Xn = np.asarray(X)
+        for m, (tid, _, _) in enumerate(items):
+            if ok[m]:
+                rec.points[tid] = Xn[m].astype(np.float32)
+
+
+def _run_ba(rec: Reconstruction, tracks, xy):
+    """Global BA over all registered frames + landmarks (static-padded)."""
+    frames, cam_params = rec.cameras_as_params()
+    fidx = {f: i for i, f in enumerate(frames)}
+    tids = [t for t in rec.points]
+    tidx = {t: i for i, t in enumerate(tids)}
+    cam_i, pt_i, uvs = [], [], []
+    for t in tids:
+        for f, k in tracks[t].items():
+            if f in fidx:
+                cam_i.append(fidx[f])
+                pt_i.append(tidx[t])
+                uvs.append(xy[f, k])
+    if len(cam_i) < 10 or len(frames) < 2:
+        return
+    O = len(cam_i)
+    cap = 1 << (O - 1).bit_length()
+    cam_idx = np.zeros(cap, np.int32)
+    pt_idx = np.zeros(cap, np.int32)
+    uv = np.zeros((cap, 2), np.float32)
+    w = np.zeros(cap, np.float32)
+    cam_idx[:O] = cam_i
+    pt_idx[:O] = pt_i
+    uv[:O] = np.asarray(uvs)
+    w[:O] = 1.0
+    points = np.stack([rec.points[t] for t in tids]).astype(np.float32)
+
+    prob = BAProblem(
+        cam_params=jnp.asarray(cam_params),
+        points=jnp.asarray(points),
+        cam_idx=jnp.asarray(cam_idx),
+        pt_idx=jnp.asarray(pt_idx),
+        uv=jnp.asarray(uv),
+        weight=jnp.asarray(w),
+        K=jnp.asarray(rec.K),
+    )
+    # exactly-7-dof gauge: freeze the first frame (6) plus ONE translation
+    # component of the scale anchor (largest magnitude, so it pins scale
+    # without constraining the direction BA may still need to correct)
+    mask = np.ones((len(frames), 6), np.float32)
+    mask[0] = 0.0
+    anchor = rec.scale_anchor if rec.scale_anchor in fidx else frames[min(1, len(frames) - 1)]
+    t_anchor = cam_params[fidx[anchor], 3:]
+    mask[fidx[anchor], 3 + int(np.argmax(np.abs(t_anchor)))] = 0.0
+    res = ba_solve(prob, max_lm_iters=10, cg_iters=15,
+                   fix_cam_mask=jnp.asarray(mask))
+    new_cams = np.asarray(res.cam_params)
+    new_pts = np.asarray(res.points)
+    for i, f in enumerate(frames):
+        R = np.asarray(axis_angle_to_matrix(jnp.asarray(new_cams[i, :3])))
+        rec.poses[f] = (R.astype(np.float32), new_cams[i, 3:].astype(np.float32))
+    for t, i in tidx.items():
+        rec.points[t] = new_pts[i]

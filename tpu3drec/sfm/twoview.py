@@ -116,9 +116,16 @@ def estimate_relative_pose(
     scores = jnp.sum(inl, axis=1)
     best = jnp.argmax(scores)
 
-    # re-fit on the best hypothesis's inliers (weighted 8-point)
+    # LO-RANSAC: iterate weighted refit on the growing inlier set
     w = inl[best].astype(x1.dtype)
-    E = eight_point(x1, x2, w)
+
+    def refit(w, _):
+        E = eight_point(x1, x2, w)
+        err = sampson_error(E, x1, x2)
+        return ((err < thresh) & valid).astype(x1.dtype), E
+
+    w, Es = jax.lax.scan(refit, w, None, length=3)
+    E = Es[-1]
     final_err = sampson_error(E, x1, x2)
     inliers = (final_err < thresh) & valid
 
