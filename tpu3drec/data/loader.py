@@ -1,0 +1,143 @@
+"""Host-side triplet loader feeding the monodepth trainer.
+
+The reference's `MonoDataset.__getitem__` pipeline (`ref/monodepth2/
+mono_dataset.py:128-220`) rebuilt for a device-feeding world: per-sample
+(prev, target, next) RGB triplets with shared color-jitter + horizontal
+flip augmentation (same params across the triplet, matching
+`mono_dataset.py:142-143,181-190`), optional GT depth and GT relative
+poses, assembled into NHWC float32 batches. A background prefetch thread
+overlaps decode/augment with device compute (the reference runs with
+num_workers=0, `options.py:144-147` — decoding serialized with training).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+from tpu3drec.data.datasets import SequenceSpec
+
+
+def color_jitter_params(rng: np.random.Generator):
+    """Monodepth2's ColorJitter ranges (`mono_dataset.py:54-63`):
+    brightness/contrast/saturation 0.8-1.2, hue +-0.1."""
+    return {
+        "brightness": rng.uniform(0.8, 1.2),
+        "contrast": rng.uniform(0.8, 1.2),
+        "saturation": rng.uniform(0.8, 1.2),
+        "hue": rng.uniform(-0.1, 0.1),
+    }
+
+
+def apply_color_jitter(img: np.ndarray, p: dict) -> np.ndarray:
+    """img float32 [0,1] HWC."""
+    out = img * p["brightness"]
+    mean = out.mean(axis=(0, 1), keepdims=True)
+    out = (out - mean) * p["contrast"] + mean
+    gray = out.mean(axis=2, keepdims=True)
+    out = (out - gray) * p["saturation"] + gray
+    if abs(p["hue"]) > 1e-6:
+        # cheap hue rotation: circular shift mix of channels
+        h = p["hue"]
+        r, g, b = out[..., 0], out[..., 1], out[..., 2]
+        out = np.stack(
+            [
+                r * (1 - abs(h)) + (g if h > 0 else b) * abs(h),
+                g * (1 - abs(h)) + (b if h > 0 else r) * abs(h),
+                b * (1 - abs(h)) + (r if h > 0 else g) * abs(h),
+            ],
+            axis=-1,
+        )
+    return np.clip(out, 0.0, 1.0)
+
+
+class TripletLoader:
+    """Iterates (prev, target, next) batches from a dataset reader.
+
+    dataset must expose `load_color(folder, idx, size)`; optional
+    `gt_relative_pose(folder, idx)` and `load_gt_depth(folder, idx)`.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        specs: list[SequenceSpec],
+        batch_size: int = 1,
+        height: int = 480,
+        width: int = 640,
+        augment: bool = True,
+        with_gt_pose: bool = False,
+        with_gt_depth: bool = False,
+        seed: int = 0,
+        prefetch: int = 2,
+    ):
+        self.ds = dataset
+        self.specs = specs
+        self.batch_size = batch_size
+        self.size = (width, height)
+        self.augment = augment
+        self.with_gt_pose = with_gt_pose
+        self.with_gt_depth = with_gt_depth
+        self.rng = np.random.default_rng(seed)
+        self.prefetch = prefetch
+
+    def __len__(self):
+        return len(self.specs) // self.batch_size
+
+    def _load_sample(self, spec: SequenceSpec):
+        imgs = {}
+        for off, key in ((-1, "prev"), (0, "target"), (1, "next")):
+            img = self.ds.load_color(spec.folder, spec.frame_index + off, size=self.size)
+            imgs[key] = np.asarray(img, np.float32) / 255.0
+        flip = self.augment and self.rng.random() > 0.5
+        jitter = self.augment and self.rng.random() > 0.5
+        if jitter:
+            p = color_jitter_params(self.rng)
+            imgs = {k: apply_color_jitter(v, p) for k, v in imgs.items()}
+        if flip:
+            imgs = {k: v[:, ::-1].copy() for k, v in imgs.items()}
+        sample = dict(imgs)
+        if self.with_gt_pose:
+            aa, t = self.ds.gt_relative_pose(spec.folder, spec.frame_index)
+            sample["gt_axisangle"] = aa
+            sample["gt_translation"] = t
+        if self.with_gt_depth:
+            d = self.ds.load_gt_depth(spec.folder, spec.frame_index)
+            if flip:
+                d = d[:, ::-1].copy()
+            sample["gt_depth"] = d.astype(np.float32)
+        return sample
+
+    def _batches(self, order):
+        B = self.batch_size
+        for i in range(0, len(order) - B + 1, B):
+            samples = [self._load_sample(self.specs[j]) for j in order[i : i + B]]
+            batch = {
+                k: np.stack([s[k] for s in samples]) for k in samples[0]
+            }
+            yield batch
+
+    def __iter__(self):
+        order = self.rng.permutation(len(self.specs))
+        if self.prefetch <= 0:
+            yield from self._batches(order)
+            return
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        DONE = object()
+
+        def worker():
+            try:
+                for b in self._batches(order):
+                    q.put(b)
+            finally:
+                q.put(DONE)
+
+        th = threading.Thread(target=worker, daemon=True)
+        th.start()
+        while True:
+            b = q.get()
+            if b is DONE:
+                break
+            yield b
