@@ -1,0 +1,195 @@
+"""Command-line interface: every reference entry point as a subcommand.
+
+Replaces the reference's edit-the-source workflow (`ref/readme.md:76-90`
+instructs users to modify paths/intrinsics in place) with flags + JSON
+configs:
+
+  tpu3drec rgbd       depth PNGs + pose txt -> world PLY/.bt
+                      (= `transfer/camera_to_world.py` + octomap scripts)
+  tpu3drec icp-fuse   two point txt/ply + T_data.txt -> merged PLY
+                      (= `other_tools/transfer_T_icp.py`)
+  tpu3drec icp        estimate the scale-correcting 4x4 T between two
+                      clouds on device (replaces the offline open3d step)
+  tpu3drec sfm        image dir -> poses txt + sparse PLY (= COLMAP)
+  tpu3drec train-mono monodepth training (= `monodepth2/trainer.py`)
+  tpu3drec ply2bt     PLY -> octomap .bt (= `octomap/ply_transfer_octomap.py`)
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _cmd_rgbd(args):
+    from tpu3drec.pipelines import rgbd
+    from tpu3drec.utils.config import RGBDPipelineConfig, from_dict
+
+    if args.config:
+        with open(args.config) as f:
+            cfg = from_dict(RGBDPipelineConfig, json.load(f))
+    else:
+        cfg = RGBDPipelineConfig()
+    if args.poses:
+        cfg.pose_file = args.poses
+    if args.depth_dir:
+        cfg.depth_dir = args.depth_dir
+    if args.out_ply:
+        cfg.out_ply = args.out_ply
+    if args.out_bt:
+        cfg.out_bt = args.out_bt
+    res = rgbd.run(cfg)
+    print(f"fused {res.n_frames} frames -> {res.n_points} points, "
+          f"{res.n_voxels} voxels in {res.seconds:.2f}s")
+
+
+def _cmd_icp_fuse(args):
+    from tpu3drec.pipelines import icp_fusion
+    from tpu3drec.utils.plyio import read_ply
+
+    a, _ = read_ply(args.cloud_a)
+    b, _ = read_ply(args.cloud_b)
+    n = icp_fusion.run(a, b, args.T, args.out)
+    print(f"merged {n} points -> {args.out}")
+
+
+def _cmd_icp(args):
+    import jax.numpy as jnp
+
+    from tpu3drec.sfm.icp import icp_scale_correction
+    from tpu3drec.utils.plyio import read_ply
+    from tpu3drec.utils.poseio import write_T_txt
+
+    a, _ = read_ply(args.cloud_a)
+    b, _ = read_ply(args.cloud_b)
+    T = np.asarray(icp_scale_correction(jnp.asarray(a), jnp.asarray(b),
+                                        iters=args.iters))
+    write_T_txt(args.out, T)
+    print(f"T ->\n{T}")
+
+
+def _cmd_sfm(args):
+    from PIL import Image
+
+    from tpu3drec.pipelines.sfm_pipeline import SfmPipelineConfig, run
+
+    paths = sorted(glob.glob(os.path.join(args.images, "*")))
+    imgs = np.stack([
+        np.asarray(Image.open(p).convert("L"), np.float32) / 255.0 for p in paths
+    ])
+    K = np.array([[args.fx, 0, args.cx], [0, args.fy, args.cy], [0, 0, 1]],
+                 np.float32)
+    cfg = SfmPipelineConfig(
+        max_keypoints=args.max_keypoints, out_poses=args.out_poses,
+        out_sparse_ply=args.out_ply, verbose=True,
+    )
+    rec = run(imgs, K, cfg, image_names=[os.path.basename(p) for p in paths])
+    print(f"registered {len(rec.poses)}/{len(paths)} frames, "
+          f"{len(rec.points)} landmarks")
+
+
+def _cmd_train_mono(args):
+    from tpu3drec.data.datasets import InteriorNetDataset, read_split_file
+    from tpu3drec.data.loader import TripletLoader
+    from tpu3drec.models.training import TrainConfig
+    from tpu3drec.pipelines.monocular import MonocularRunConfig, train
+
+    tcfg = TrainConfig(
+        height=args.height, width=args.width, batch_size=args.batch_size,
+        learning_rate=args.lr, num_epochs=args.epochs,
+        use_gt_pose=args.use_gt_pose,
+    )
+    ds = InteriorNetDataset(args.data_path)
+    train_specs = read_split_file(args.split_train)
+    val_specs = read_split_file(args.split_val) if args.split_val else []
+    tl = TripletLoader(ds, train_specs, batch_size=args.batch_size,
+                       height=args.height, width=args.width,
+                       with_gt_pose=args.use_gt_pose)
+    vl = TripletLoader(ds, val_specs, batch_size=args.batch_size,
+                       height=args.height, width=args.width, augment=False,
+                       with_gt_depth=True) if val_specs else None
+    cfg = MonocularRunConfig(train=tcfg, log_dir=args.log_dir)
+    train(cfg, tl, vl)
+
+
+def _cmd_ply2bt(args):
+    from tpu3drec.mapping.btio import write_bt
+    from tpu3drec.mapping.voxel import dedup_voxels_host
+    from tpu3drec.utils.plyio import read_ply
+
+    pts, _ = read_ply(args.ply)
+    if args.max_points and pts.shape[0] > args.max_points:
+        pts = pts[: args.max_points]  # reference caps at 5.4M points
+    keys = dedup_voxels_host(pts, args.res)
+    n = write_bt(args.out, keys, args.res)
+    print(f"{pts.shape[0]} points -> {keys.shape[0]} voxels, {n} nodes -> {args.out}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="tpu3drec")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    q = sub.add_parser("rgbd", help="depth + poses -> fused map")
+    q.add_argument("--config")
+    q.add_argument("--poses")
+    q.add_argument("--depth-dir", dest="depth_dir")
+    q.add_argument("--out-ply", dest="out_ply")
+    q.add_argument("--out-bt", dest="out_bt")
+    q.set_defaults(fn=_cmd_rgbd)
+
+    q = sub.add_parser("icp-fuse", help="merge cloud B via T_data.txt")
+    q.add_argument("cloud_a")
+    q.add_argument("cloud_b")
+    q.add_argument("--T", required=True)
+    q.add_argument("--out", required=True)
+    q.set_defaults(fn=_cmd_icp_fuse)
+
+    q = sub.add_parser("icp", help="estimate scale-correcting T on device")
+    q.add_argument("cloud_a")
+    q.add_argument("cloud_b")
+    q.add_argument("--iters", type=int, default=50)
+    q.add_argument("--out", required=True)
+    q.set_defaults(fn=_cmd_icp)
+
+    q = sub.add_parser("sfm", help="images -> poses + sparse cloud")
+    q.add_argument("images")
+    q.add_argument("--fx", type=float, default=600.391)
+    q.add_argument("--fy", type=float, default=600.079)
+    q.add_argument("--cx", type=float, default=320.0)
+    q.add_argument("--cy", type=float, default=240.0)
+    q.add_argument("--max-keypoints", dest="max_keypoints", type=int, default=512)
+    q.add_argument("--out-poses", dest="out_poses", default="poses.txt")
+    q.add_argument("--out-ply", dest="out_ply", default="sparse.ply")
+    q.set_defaults(fn=_cmd_sfm)
+
+    q = sub.add_parser("train-mono", help="monodepth training")
+    q.add_argument("--data-path", dest="data_path", required=True)
+    q.add_argument("--split-train", dest="split_train", required=True)
+    q.add_argument("--split-val", dest="split_val", default="")
+    q.add_argument("--height", type=int, default=480)
+    q.add_argument("--width", type=int, default=640)
+    q.add_argument("--batch-size", dest="batch_size", type=int, default=1)
+    q.add_argument("--lr", type=float, default=1e-5)
+    q.add_argument("--epochs", type=int, default=20)
+    q.add_argument("--use-gt-pose", dest="use_gt_pose", action="store_true")
+    q.add_argument("--log-dir", dest="log_dir", default="runs/monocular")
+    q.set_defaults(fn=_cmd_train_mono)
+
+    q = sub.add_parser("ply2bt", help="PLY -> octomap .bt")
+    q.add_argument("ply")
+    q.add_argument("--res", type=float, default=0.1)
+    q.add_argument("--out", required=True)
+    q.add_argument("--max-points", dest="max_points", type=int, default=0)
+    q.set_defaults(fn=_cmd_ply2bt)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
