@@ -1,0 +1,119 @@
+"""Distributed tests on the 8-device emulated CPU mesh (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tpu3drec.parallel.mesh import make_mesh, pad_to_multiple, shard_batch
+from tpu3drec.parallel.ring import ring_nearest_neighbors, sharded_voxel_count
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return make_mesh(data=1, space=8, model=1)
+
+
+class TestMesh:
+    def test_make_mesh_shapes(self):
+        m = make_mesh(data=0, space=2)
+        assert m.shape["data"] == 4 and m.shape["space"] == 2
+
+    def test_pad_to_multiple(self):
+        x = np.ones((10, 3))
+        p, n = pad_to_multiple(x, 8)
+        assert p.shape == (16, 3) and n == 10
+
+    def test_shard_batch_places(self, mesh8):
+        x = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+        xs = shard_batch(mesh8, x, axis="space")
+        assert len(xs.sharding.device_set) == 8
+        np.testing.assert_array_equal(np.asarray(xs), x)
+
+
+class TestRingNN:
+    def test_matches_global_search(self, mesh8, rng):
+        Nq, Nr = 64, 128  # divisible by 8
+        q = rng.normal(size=(Nq, 3)).astype(np.float32)
+        r = rng.normal(size=(Nr, 3)).astype(np.float32)
+        qs = shard_batch(mesh8, q, "space")
+        rs = shard_batch(mesh8, r, "space")
+        idx, d2 = ring_nearest_neighbors(qs, rs, mesh8)
+        ref = ((q[:, None] - r[None]) ** 2).sum(-1)
+        np.testing.assert_array_equal(np.asarray(idx), ref.argmin(1))
+        np.testing.assert_allclose(np.asarray(d2), ref.min(1), atol=1e-5)
+
+
+class TestShardedVoxels:
+    def test_count_matches_host(self, mesh8, rng):
+        from tpu3drec.mapping.voxel import voxelize
+        from baseline.reference_cpu import octree_insert_equiv
+
+        pts = rng.uniform(-2, 2, size=(400, 3)).astype(np.float32)
+        keys = np.asarray(voxelize(jnp.asarray(pts), 0.2))
+        valid = np.ones(400, bool)
+        ks = shard_batch(mesh8, keys, "space")
+        vs = shard_batch(mesh8, valid, "space")
+        count = int(sharded_voxel_count(ks, vs, mesh8))
+        assert count == len(octree_insert_equiv(pts.astype(np.float64), 0.2))
+
+    def test_count_with_cross_shard_duplicates(self, mesh8):
+        # every shard holds the same 2 keys: global unique must be 2
+        keys = np.tile(np.array([[1, 2, 3], [4, 5, 6]], np.int32), (8, 1))
+        valid = np.ones(16, bool)
+        ks = shard_batch(mesh8, keys, "space")
+        vs = shard_batch(mesh8, valid, "space")
+        assert int(sharded_voxel_count(ks, vs, mesh8)) == 2
+
+
+class TestShardedBA:
+    def test_sharded_obs_equals_unsharded(self, mesh8, rng):
+        """BA with observation arrays sharded over the mesh must match the
+        single-device result (the reductions become psums)."""
+        from tests.test_ba import _make_problem
+        from tpu3drec.sfm.ba import ba_solve
+
+        prob, _, _ = _make_problem(rng, F=4, L=64, perturb=0.005)
+        res_single = ba_solve(prob, max_lm_iters=5, cg_iters=10)
+
+        sharding = NamedSharding(mesh8, P("space"))
+        prob_sharded = prob._replace(
+            cam_idx=jax.device_put(prob.cam_idx, sharding),
+            pt_idx=jax.device_put(prob.pt_idx, sharding),
+            uv=jax.device_put(prob.uv, sharding),
+            weight=jax.device_put(prob.weight, sharding),
+        )
+        res_sharded = ba_solve(prob_sharded, max_lm_iters=5, cg_iters=10)
+        np.testing.assert_allclose(
+            np.asarray(res_sharded.cam_params),
+            np.asarray(res_single.cam_params), atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            float(res_sharded.final_cost), float(res_single.final_cost),
+            rtol=1e-3, atol=1e-6,  # atol: both converge to numerical zero
+        )
+
+
+class TestShardedFusion:
+    def test_frames_sharded_over_mesh(self, rng):
+        from tpu3drec.core.unproject import fuse_depth_maps
+
+        mesh = make_mesh(data=4, space=2)
+        F, h, w = 8, 16, 24
+        depths = rng.uniform(0.1, 10, size=(F, h, w)).astype(np.float32)
+        Rs = np.broadcast_to(np.eye(3, dtype=np.float32), (F, 3, 3)).copy()
+        ts = rng.normal(size=(F, 3)).astype(np.float32)
+        sh = NamedSharding(mesh, P(("data", "space")))
+        pts, valid = fuse_depth_maps(
+            jax.device_put(depths, sh),
+            jax.device_put(Rs, sh),
+            jax.device_put(ts, sh),
+            100.0, 100.0, 12.0, 8.0,
+        )
+        # result matches unsharded
+        pts2, _ = fuse_depth_maps(
+            jnp.asarray(depths), jnp.asarray(Rs), jnp.asarray(ts),
+            100.0, 100.0, 12.0, 8.0,
+        )
+        np.testing.assert_allclose(np.asarray(pts), np.asarray(pts2), atol=1e-5)
