@@ -30,6 +30,7 @@ def _matcher_kernel(a_ref, b_ref, validb_ref, best_ref, top2_ref):
         a, b,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # bf16 passes flip near-ties
     )                                   # (TILE_A, Kb)
     neg = jnp.float32(-3.0)            # similarities are in [-1, 1]
     s = jnp.where(validb_ref[:][None, :] != 0, s, neg)
