@@ -112,9 +112,23 @@ def _build_nodes(morton_sorted: np.ndarray):
     return bytes(out), n_nodes
 
 
-def write_bt(path: str, voxel_keys: np.ndarray, res: float) -> int:
+def write_bt(path: str, voxel_keys: np.ndarray, res: float,
+             backend: str = "auto") -> int:
     """Write occupied voxel keys ((M, 3) int, signed floor(p/res) convention)
-    as an octovis-compatible ``.bt``. Returns node count."""
+    as an octovis-compatible ``.bt``. Returns node count.
+
+    ``backend``: "auto" uses the native C++ builder when built
+    (`native/tpu3drec_native.cpp`, byte-identical output), "python" forces
+    this module's implementation.
+    """
+    d0 = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d0, exist_ok=True)
+    if backend == "auto":
+        from tpu3drec.utils import native
+
+        n = native.bt_write_keys(path, np.asarray(voxel_keys, np.int32), res)
+        if n is not None:
+            return n
     keys = np.asarray(voxel_keys, dtype=np.int64) + _KEY_OFFSET
     if keys.size and (keys.min() < 0 or keys.max() >= (1 << 16)):
         raise ValueError("voxel keys exceed octomap depth-16 key range")
