@@ -25,11 +25,16 @@ from tpu3drec.utils.poseio import PoseRecord, write_pose_txt
 
 @dataclass
 class SimScene:
-    """Random blob world: positions (N,3), per-blob radius + albedo."""
+    """Random blob world: positions (N,3), per-blob radius + albedo, plus a
+    per-blob procedural texture (random 2D sinusoid) so every splat has
+    distinctive local gradient structure — flat discs are feature-detectable
+    but descriptor-ambiguous."""
 
     points: np.ndarray
     radii: np.ndarray
     albedo: np.ndarray
+    tex_freq: np.ndarray   # (N, 2) sinusoid frequency (cycles/px-at-1m)
+    tex_phase: np.ndarray  # (N,)
 
     @staticmethod
     def random(rng, n: int = 300, extent=((-20, -5, 5), (20, 5, 45))) -> "SimScene":
@@ -38,6 +43,37 @@ class SimScene:
             points=rng.uniform(lo, hi, size=(n, 3)).astype(np.float32),
             radii=rng.uniform(0.3, 1.2, size=n).astype(np.float32),
             albedo=rng.uniform(0.3, 1.0, size=(n, 3)).astype(np.float32),
+            tex_freq=rng.uniform(0.5, 2.5, size=(n, 2)).astype(np.float32)
+            * rng.choice([-1, 1], size=(n, 2)),
+            tex_phase=rng.uniform(0, 2 * np.pi, size=n).astype(np.float32),
+        )
+
+    @staticmethod
+    def clustered(rng, n_landmarks: int = 150, sats: int = 4,
+                  extent=((-20, -5, 8), (20, 5, 45)),
+                  sat_spread: float = 0.6) -> "SimScene":
+        """SfM-friendly scene: each landmark is an anchor blob plus a unique
+        constellation of satellite blobs at fixed 3D offsets — local
+        appearance is distinctive AND rigidly view-consistent (screen-space
+        texture is not; see git history)."""
+        lo, hi = np.asarray(extent[0]), np.asarray(extent[1])
+        anchors = rng.uniform(lo, hi, size=(n_landmarks, 3))
+        offs = rng.uniform(-sat_spread, sat_spread, size=(n_landmarks, sats, 3))
+        pts = np.concatenate(
+            [anchors[:, None, :], anchors[:, None, :] + offs], axis=1
+        ).reshape(-1, 3)
+        n = pts.shape[0]
+        radii = np.concatenate(
+            [np.full((n_landmarks, 1), 0.35),
+             rng.uniform(0.12, 0.3, size=(n_landmarks, sats))], axis=1
+        ).reshape(-1)
+        albedo = rng.uniform(0.25, 1.0, size=(n, 3))
+        return SimScene(
+            points=pts.astype(np.float32),
+            radii=radii.astype(np.float32),
+            albedo=albedo.astype(np.float32),
+            tex_freq=np.zeros((n, 2), np.float32),
+            tex_phase=np.full(n, np.pi / 2, np.float32),  # sin -> 1: flat shading
         )
 
 
@@ -70,8 +106,21 @@ def render_frame(scene: SimScene, R: np.ndarray, t: np.ndarray,
         hit = du * du + dv * dv < r_px * r_px
         closer = hit & (z < depth[v0:v1, u0:u1])
         depth[v0:v1, u0:u1][closer] = z
-        rgb[v0:v1, u0:u1][closer] = scene.albedo[m]
+        # per-blob texture in splat-local metric coords (approximately
+        # view-stable for modest viewpoint changes)
+        fu, fv = scene.tex_freq[m]
+        # normalize offsets by the projected radius: the pattern scales with
+        # the splat across views instead of swimming with depth
+        tex = 0.65 + 0.35 * np.sin(
+            (du * fu + dv * fv) * (2.0 * np.pi / r_px) + scene.tex_phase[m]
+        )
+        rgb[v0:v1, u0:u1][closer] = (
+            scene.albedo[m][None, :] * tex[closer][:, None]
+        )
     rgb_u8 = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
+    # no-return pixels carry 0 (sensor convention; downstream min_depth
+    # masks them) — a fake far plane would poison ICP/fusion statistics
+    depth = np.where(depth >= max_depth, 0.0, depth).astype(np.float32)
     return rgb_u8, depth
 
 

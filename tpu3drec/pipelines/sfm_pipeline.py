@@ -52,36 +52,37 @@ def metric_scale_from_depth(
     depth_maps: np.ndarray,    # (F, H, W) metric depth (GT or stereo)
     cam_cfg,
     frame: int | None = None,
-    icp_iters: int = 50,
 ) -> float:
-    """Recover the metric scale SfM can't observe by ICP-aligning one
-    frame's SfM landmark cloud onto its metric depth unprojection — the
-    reference's scale-correction concept (readme §2(2), `ref/readme.md:24-25`)
-    without the manual open3d step."""
-    from tpu3drec.core.unproject import depth_to_camera_points
-
-    frames = rec.registered_frames()
-    frame = frame if frame is not None else frames[len(frames) // 2]
-    R, t = rec.poses[frame]
-    pts_sfm = []
-    for tid, X in rec.points.items():
-        if frame in rec.tracks.get(tid, {}):
-            pts_sfm.append(R @ X + t)  # camera-frame SfM points
-    if len(pts_sfm) < 10:
-        raise ValueError("not enough landmarks in the scale frame")
-    pts_sfm = np.asarray(pts_sfm, np.float32)
+    """Recover the metric scale SfM can't observe — the reference's
+    scale-correction concept (readme §2(2), `ref/readme.md:24-25`) without
+    the manual open3d step. Landmarks and the depth map share the camera
+    frame, so the rotation is known: scale = robust median over landmarks of
+    depth(u, v) / z_sfm at their projections, aggregated over all registered
+    frames with valid depth. (The general unknown-correspondence two-cloud
+    case keeps the similarity-ICP path: `tpu3drec/sfm/icp.py`.)"""
     cam = cam_cfg.to_camera() if hasattr(cam_cfg, "to_camera") else cam_cfg
-    dm = depth_maps[frames.index(frame)]
-    metric = np.asarray(
-        depth_to_camera_points(jnp.asarray(dm), cam)
-    ).reshape(-1, 3)
-    metric = metric[dm.reshape(-1) > 1e-3]
-    # subsample the dense cloud for the NN search
-    if metric.shape[0] > 20000:
-        metric = metric[:: metric.shape[0] // 20000]
-    res = icp(jnp.asarray(pts_sfm), jnp.asarray(metric), iters=icp_iters,
-              with_scale=True)
-    return float(res.scale)
+    fx, fy = float(cam.fx), float(cam.fy)
+    cx, cy = float(cam.cx), float(cam.cy)
+    frames = rec.registered_frames()
+    use_frames = [frame] if frame is not None else frames
+    ratios = []
+    for f in use_frames:
+        R, t = rec.poses[f]
+        dm = depth_maps[frames.index(f)]
+        H, W = dm.shape
+        for tid, X in rec.points.items():
+            if f not in rec.tracks.get(tid, {}):
+                continue
+            Xc = R @ X + t
+            if Xc[2] <= 1e-6:
+                continue
+            u = int(round(Xc[0] / Xc[2] * fx + cx))
+            v = int(round(Xc[1] / Xc[2] * fy + cy))
+            if 0 <= u < W and 0 <= v < H and dm[v, u] > 1e-3:
+                ratios.append(dm[v, u] / Xc[2])
+    if len(ratios) < 10:
+        raise ValueError(f"only {len(ratios)} landmark-depth pairs for scaling")
+    return float(np.median(ratios))
 
 
 def apply_scale(rec: Reconstruction, scale: float) -> None:
