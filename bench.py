@@ -45,11 +45,14 @@ def main() -> None:
     Rs, tc2w = cam_to_world_arrays(qs.astype(np.float32), ts)
     Rs_d, ts_d = jnp.asarray(Rs), jnp.asarray(tc2w)
 
-    # --- baseline: reference-equivalent CPU loops, 1 frame, extrapolated ---
-    t0 = time.perf_counter()
-    cam_pts = gentxtcord_equiv(depths[0, 0], FX, FY, CX, CY)
-    world_transform_equiv(cam_pts, qs[0], ts[0])
-    baseline_s_per_frame = time.perf_counter() - t0
+    # --- baseline: reference-equivalent CPU loops, best of 2 frames
+    # (conservative: favors the baseline) ---
+    baseline_s_per_frame = float("inf")
+    for rep in range(2):
+        t0 = time.perf_counter()
+        cam_pts = gentxtcord_equiv(depths[0, rep], FX, FY, CX, CY)
+        world_transform_equiv(cam_pts, qs[rep], ts[rep])
+        baseline_s_per_frame = min(baseline_s_per_frame, time.perf_counter() - t0)
 
     # --- TPU path: fused unprojection + voxel dedup, device-resident ---
     # Chained through the previous step's output so the runtime cannot elide
