@@ -13,6 +13,7 @@ same machine. Target from BASELINE.json: >= 10x.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -81,6 +82,10 @@ def main() -> None:
     tpu_fps = (N_BATCHES * F) / best
     baseline_fps = 1.0 / baseline_s_per_frame
 
+    # secondary diagnostics on stderr (stdout stays ONE json line)
+    if os.environ.get("BENCH_ALL"):
+        _bench_training(sys.stderr)
+
     print(
         json.dumps(
             {
@@ -90,6 +95,37 @@ def main() -> None:
                 "vs_baseline": round(tpu_fps / baseline_fps, 2),
             }
         )
+    )
+
+
+def _bench_training(out) -> None:
+    """Monodepth training-step throughput (BENCH_ALL=1 diagnostic)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu3drec.models.training import TrainConfig, init_state, make_train_step
+    from tpu3drec.utils.profiling import time_chained
+
+    H, W, B = 192, 640, 4
+    rng = np.random.default_rng(0)
+    cfg = TrainConfig(height=H, width=W, batch_size=B)
+    model, state, tx = init_state(jax.random.PRNGKey(0), cfg, 100)
+    step = make_train_step(model, tx, cfg)
+    batch = {
+        k: jnp.asarray(rng.uniform(size=(B, H, W, 3)).astype(np.float32))
+        for k in ("target", "prev", "next")
+    }
+    key = jax.random.PRNGKey(0)
+
+    def one(s):
+        s2, _, _ = step(s, batch, key)
+        return s2
+
+    dt = time_chained(one, state, iters=10, warmup=3)
+    print(
+        f"monodepth_train_examples_per_s: {B / dt:.1f} "
+        f"({dt*1e3:.2f} ms/step, batch {B} @ {H}x{W})",
+        file=out,
     )
 
 

@@ -41,6 +41,7 @@ class TrainConfig:
     width: int = 640
     use_gt_pose: bool = False          # --use_GTpose
     depth_layers: int = 18
+    compute_dtype: str = "float32"     # "bfloat16" puts convs on the bf16 MXU path
     loss: MonodepthLossConfig = None
 
     def __post_init__(self):
@@ -85,7 +86,10 @@ def make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
 
 
 def init_state(rng, cfg: TrainConfig, steps_per_epoch: int = 1000):
-    model = MonodepthModel(depth_layers=cfg.depth_layers)
+    import jax.numpy as _jnp
+
+    dtype = {"float32": _jnp.float32, "bfloat16": _jnp.bfloat16}[cfg.compute_dtype]
+    model = MonodepthModel(depth_layers=cfg.depth_layers, dtype=dtype)
     dummy = jnp.zeros((1, cfg.height, cfg.width, 3), jnp.float32)
     variables = model.init(rng, dummy, [dummy, dummy], train=False)
     params = variables["params"]
@@ -109,6 +113,11 @@ def _forward_loss(params, batch_stats, model, batch, cfg: TrainConfig, rng):
         variables, target, prev, nxt, with_pose=not cfg.use_gt_pose,
         method=MonodepthModel.forward_train, mutable=["batch_stats"],
     )
+    # loss math in f32 regardless of the conv compute dtype
+    disps = {k: v.astype(jnp.float32) for k, v in disps.items()}
+    if pose_prev is not None:
+        pose_prev = tuple(p.astype(jnp.float32) for p in pose_prev)
+        pose_next = tuple(p.astype(jnp.float32) for p in pose_next)
 
     if cfg.use_gt_pose:
         # GT path (`trainer.py:267-274`): no inversion, rows [prev, next]
