@@ -65,45 +65,53 @@ def morton_decode(m: np.ndarray) -> np.ndarray:
     return out
 
 
-def _build_nodes(morton_sorted: np.ndarray):
+def _build_nodes(morton_sorted: np.ndarray, morton_free: np.ndarray | None = None):
     """Preorder node byte stream + node count from sorted unique mortons.
 
-    A child subtree containing its full 8^b voxel complement is pruned to a
-    single occupied leaf (octomap prune() semantics for an all-occupied
-    tree).
+    A child subtree containing its full 8^b voxel complement of one label is
+    pruned to a single leaf of that label (octomap prune() semantics);
+    occupied leaves encode 0b01, free leaves 0b10 (ref octomap
+    writeBinaryNode bit layout).
     """
     out = bytearray()
     n_nodes = 1  # root
-    if morton_sorted.size == 0:
-        return bytes(out), 0
+    mf = morton_free if morton_free is not None else np.zeros(0, np.uint64)
     m = morton_sorted
-    # Stack of (lo, hi, child_bit_level); emit bytes at pop => preorder.
-    stack = [(0, len(m), OCTOMAP_TREE_DEPTH - 1)]
+    if m.size == 0 and mf.size == 0:
+        return bytes(out), 0
+    # Stack of (lo_o, hi_o, lo_f, hi_f, child_bit_level); emit at pop.
+    stack = [(0, len(m), 0, len(mf), OCTOMAP_TREE_DEPTH - 1)]
     while stack:
-        lo, hi, b = stack.pop()
+        lo_o, hi_o, lo_f, hi_f, b = stack.pop()
         node_size = np.uint64(1) << np.uint64(3 * (b + 1))
         child_size = np.uint64(1) << np.uint64(3 * b)
-        start = m[lo] & ~(node_size - np.uint64(1))
-        bounds = np.searchsorted(
-            m[lo:hi], start + child_size * np.arange(9, dtype=np.uint64)
-        ) + lo
+        any_code = m[lo_o] if hi_o > lo_o else mf[lo_f]
+        start = any_code & ~(node_size - np.uint64(1))
+        edges = start + child_size * np.arange(9, dtype=np.uint64)
+        bo = np.searchsorted(m[lo_o:hi_o], edges) + lo_o
+        bf = np.searchsorted(mf[lo_f:hi_f], edges) + lo_f
         byte0 = 0
         byte1 = 0
         inner_children = []
         for i in range(8):
-            clo, chi = int(bounds[i]), int(bounds[i + 1])
-            cnt = chi - clo
-            if cnt == 0:
+            co = int(bo[i + 1]) - int(bo[i])
+            cf = int(bf[i + 1]) - int(bf[i])
+            if co == 0 and cf == 0:
                 continue
             n_nodes += 1
-            is_leaf = cnt == int(child_size)  # full subtree (or b==0 voxel)
-            bits = 0b01 if is_leaf else 0b11
+            if cf == 0 and co == int(child_size):
+                bits = 0b01  # full occupied subtree -> occupied leaf
+            elif co == 0 and cf == int(child_size):
+                bits = 0b10  # full free subtree -> free leaf
+            else:
+                bits = 0b11
+                inner_children.append(
+                    (int(bo[i]), int(bo[i + 1]), int(bf[i]), int(bf[i + 1]), b - 1)
+                )
             if i < 4:
                 byte0 |= bits << (2 * i)
             else:
                 byte1 |= bits << (2 * (i - 4))
-            if not is_leaf:
-                inner_children.append((clo, chi, b - 1))
         out.append(byte0)
         out.append(byte1)
         # Push reversed so children pop (and emit) in 0..7 order.
@@ -113,17 +121,18 @@ def _build_nodes(morton_sorted: np.ndarray):
 
 
 def write_bt(path: str, voxel_keys: np.ndarray, res: float,
-             backend: str = "auto") -> int:
+             backend: str = "auto", free_keys: np.ndarray | None = None) -> int:
     """Write occupied voxel keys ((M, 3) int, signed floor(p/res) convention)
     as an octovis-compatible ``.bt``. Returns node count.
 
     ``backend``: "auto" uses the native C++ builder when built
     (`native/tpu3drec_native.cpp`, byte-identical output), "python" forces
-    this module's implementation.
+    this module's implementation. ``free_keys`` adds carved free-space
+    leaves (0b10 child codes; python path only).
     """
     d0 = os.path.dirname(os.path.abspath(path))
     os.makedirs(d0, exist_ok=True)
-    if backend == "auto":
+    if backend == "auto" and free_keys is None:
         from tpu3drec.utils import native
 
         n = native.bt_write_keys(path, np.asarray(voxel_keys, np.int32), res)
@@ -133,7 +142,13 @@ def write_bt(path: str, voxel_keys: np.ndarray, res: float,
     if keys.size and (keys.min() < 0 or keys.max() >= (1 << 16)):
         raise ValueError("voxel keys exceed octomap depth-16 key range")
     m = np.unique(morton_encode(keys.astype(np.uint64)))
-    payload, n_nodes = _build_nodes(m)
+    mf = None
+    if free_keys is not None and len(free_keys):
+        fk = np.asarray(free_keys, dtype=np.int64) + _KEY_OFFSET
+        if fk.min() < 0 or fk.max() >= (1 << 16):
+            raise ValueError("free voxel keys exceed octomap key range")
+        mf = np.unique(morton_encode(fk.astype(np.uint64)))
+    payload, n_nodes = _build_nodes(m, mf)
     d = os.path.dirname(os.path.abspath(path))
     os.makedirs(d, exist_ok=True)
     with open(path, "wb") as f:
@@ -152,10 +167,11 @@ def write_bt(path: str, voxel_keys: np.ndarray, res: float,
     return n_nodes
 
 
-def read_bt(path: str):
+def read_bt(path: str, with_free: bool = False):
     """Read a ``.bt`` (this module's or octomap's). Returns
-    (occupied voxel keys (M, 3) int32 signed convention, res). Pruned
-    occupied leaves are expanded to their constituent depth-16 voxels."""
+    (occupied voxel keys (M, 3) int32 signed convention, res), or
+    (occupied, free, res) when ``with_free``. Pruned leaves are expanded to
+    their constituent depth-16 voxels."""
     with open(path, "rb") as f:
         first = f.readline().decode("ascii").strip()
         if first != _HEADER_FIRST_LINE:
@@ -176,8 +192,10 @@ def read_bt(path: str):
         payload = f.read()
 
     occupied: list[np.ndarray] = []
+    free: list[np.ndarray] = []
+    empty = np.zeros((0, 3), dtype=np.int32)
     if size == 0 or not payload:
-        return np.zeros((0, 3), dtype=np.int32), res
+        return (empty, empty, res) if with_free else (empty, res)
     pos = 0
     # (prefix morton, child_bit_level) preorder stack, mirroring the writer.
     stack = [(np.uint64(0), OCTOMAP_TREE_DEPTH - 1)]
@@ -196,11 +214,18 @@ def read_bt(path: str):
             elif bits == 0b01:  # occupied leaf, possibly pruned
                 n_vox = 1 << (3 * b)
                 occupied.append(child_prefix + np.arange(n_vox, dtype=np.uint64))
-            # 0b10 free leaf: tracked trees only; ignored for occupancy set
+            elif bits == 0b10:  # free leaf
+                n_vox = 1 << (3 * b)
+                free.append(child_prefix + np.arange(n_vox, dtype=np.uint64))
         for child in reversed(inner):
             stack.append(child)
-    if not occupied:
-        return np.zeros((0, 3), dtype=np.int32), res
-    mortons = np.concatenate(occupied)
-    keys = morton_decode(np.sort(mortons)).astype(np.int64) - _KEY_OFFSET
-    return keys.astype(np.int32), res
+
+    def expand(parts):
+        if not parts:
+            return empty
+        mortons = np.concatenate(parts)
+        return (morton_decode(np.sort(mortons)).astype(np.int64) - _KEY_OFFSET).astype(np.int32)
+
+    if with_free:
+        return expand(occupied), expand(free), res
+    return expand(occupied), res
