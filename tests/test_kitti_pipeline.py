@@ -1,0 +1,76 @@
+"""Windowed-SfM KITTI driver on a synthetic long sequence + layout reader."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tpu3drec.data.capture_sim import CaptureSim, SimScene, render_frame
+from tpu3drec.data.kitti_odom import KittiOdometryDataset
+from tpu3drec.pipelines.kitti import (
+    KittiRunConfig,
+    evaluate_sequence,
+    run_windowed_sfm,
+)
+from tpu3drec.utils.config import CameraConfig
+from tpu3drec.utils.trajectory_eval import write_kitti_poses
+
+
+@pytest.fixture(scope="module")
+def long_capture():
+    rng = np.random.default_rng(11)
+    scene = SimScene.clustered(rng, n_landmarks=420, sats=4,
+                               extent=((-25, -6, 8), (40, 6, 60)))
+    cam = CameraConfig(fx=220.0, fy=220.0, cx=128.0, cy=96.0, width=256, height=192)
+    sim = CaptureSim(scene, cam=cam)
+    poses = sim.fly(16, step=np.array([0.55, 0.0, 0.35]), yaw_rate=0.01)
+    frames = [render_frame(scene, R, t, cam) for R, t in poses]
+    images = np.stack([f[0].mean(-1).astype(np.float32) / 255.0 for f in frames])
+    K = np.array([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]], np.float32)
+    gt_T = []
+    for R, t in poses:
+        T = np.eye(4)
+        T[:3, :3] = R.T
+        T[:3, 3] = -R.T @ t
+        gt_T.append(T)
+    return images, np.stack(gt_T), K
+
+
+@pytest.mark.slow
+def test_windowed_sfm_stitches_long_sequence(long_capture):
+    images, gt_T, K = long_capture
+    cfg = KittiRunConfig(window=8, stride=4, max_keypoints=256)
+    Ts, recs = run_windowed_sfm(images, K, cfg)
+    assert len(recs) >= 2  # genuinely windowed
+    metrics = evaluate_sequence(Ts, gt_T)
+    assert metrics["coverage"] > 0.9
+    # stitched trajectory within 5% of length (stitching compounds error)
+    assert metrics["ate_rms"] < 0.05 * metrics["traj_len"], metrics
+
+
+class TestKittiLayout:
+    def test_reader(self, tmp_path, rng):
+        seq = tmp_path / "sequences" / "00"
+        os.makedirs(seq / "image_0")
+        os.makedirs(tmp_path / "poses")
+        for i in range(3):
+            img = (rng.uniform(size=(40, 60)) * 255).astype(np.uint8)
+            Image.fromarray(img, mode="L").save(seq / "image_0" / f"{i:06d}.png")
+        with open(seq / "calib.txt", "w") as f:
+            P = "7.0e+02 0 6.0e+02 0 0 7.0e+02 1.8e+02 0 0 0 1 0"
+            for c in range(4):
+                f.write(f"P{c}: {P}\n")
+        Ts = np.tile(np.eye(4), (3, 1, 1))
+        Ts[:, 0, 3] = np.arange(3)
+        write_kitti_poses(str(tmp_path / "poses" / "00.txt"), Ts)
+
+        ds = KittiOdometryDataset(str(tmp_path), "00")
+        K = ds.calib()
+        assert K[0, 0] == 700.0 and K[0, 2] == 600.0
+        assert ds.num_frames() == 3
+        imgs = ds.load_sequence()
+        assert imgs.shape == (3, 40, 60)
+        assert imgs.max() <= 1.0
+        gt = ds.gt_poses()
+        np.testing.assert_allclose(gt, Ts, atol=1e-8)

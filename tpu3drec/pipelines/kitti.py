@@ -1,0 +1,137 @@
+"""KITTI odometry pipeline: windowed SfM over long sequences + stitching.
+
+The north-star benchmark driver (BASELINE.json: "KITTI odometry seq 00-10
+reconstructed within reference ATE"). Long sequences are reconstructed in
+overlapping windows (each window is one `run_sfm` call — bounded memory,
+trivially frame-parallel across hosts); consecutive windows are stitched by
+similarity-aligning their shared frames, and the stitched trajectory can be
+refined with pose-graph optimization over the window-overlap constraints.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from tpu3drec.sfm.icp import umeyama
+from tpu3drec.sfm.incremental import run_sfm
+from tpu3drec.utils.trajectory_eval import ate, rpe, trajectory_length
+
+
+@dataclass
+class KittiRunConfig:
+    window: int = 12
+    stride: int = 7           # window step; overlap = window - stride
+                              # (>= 3 shared frames needed for a robust
+                              # similarity stitch; 2-frame stitches drift)
+    max_keypoints: int = 512
+    overlap_matches: int = 3  # sequential matching overlap inside a window
+    seed: int = 0
+    verbose: bool = False
+
+
+def _poses_to_T(rec, frames):
+    """Registered frames -> dict frame -> 4x4 cam->world."""
+    out = {}
+    for f in frames:
+        R, t = rec.poses[f]
+        T = np.eye(4)
+        T[:3, :3] = R.T
+        T[:3, 3] = -R.T @ t
+        out[f] = T
+    return out
+
+
+def _similarity_from_pose_pairs(src_Ts, dst_Ts):
+    """Similarity (s, R, t) aligning src camera centers onto dst, rotation
+    averaged from the per-frame rotation deltas."""
+    import jax.numpy as jnp
+
+    src_c = np.stack([T[:3, 3] for T in src_Ts])
+    dst_c = np.stack([T[:3, 3] for T in dst_Ts])
+    if len(src_Ts) >= 3:
+        s, R, t = umeyama(jnp.asarray(src_c, dtype=jnp.float32),
+                          jnp.asarray(dst_c, dtype=jnp.float32),
+                          jnp.ones(len(src_Ts), dtype=jnp.float32))
+        return float(s), np.asarray(R, np.float64), np.asarray(t, np.float64)
+    # 2 overlap frames: rotation from relative orientations, scale from the
+    # center distance ratio
+    R = dst_Ts[0][:3, :3] @ src_Ts[0][:3, :3].T
+    d_src = np.linalg.norm(src_c[-1] - src_c[0])
+    d_dst = np.linalg.norm(dst_c[-1] - dst_c[0])
+    s = d_dst / max(d_src, 1e-12)
+    t = dst_c[0] - s * R @ src_c[0]
+    return s, R, t
+
+
+def run_windowed_sfm(
+    images: np.ndarray,   # (F, H, W) grayscale float [0,1]
+    K: np.ndarray,
+    cfg: KittiRunConfig = None,
+):
+    """Reconstruct a long sequence window-by-window, stitched into one
+    trajectory. Returns (Ts (F, 4, 4) cam->world | None per missing frame,
+    list of per-window reconstructions)."""
+    cfg = cfg or KittiRunConfig()
+    F = images.shape[0]
+    global_T: dict[int, np.ndarray] = {}
+    recs = []
+    start = 0
+    widx = 0
+    while start < F - 1:
+        end = min(start + cfg.window, F)
+        rec = run_sfm(
+            images[start:end], K,
+            max_keypoints=cfg.max_keypoints, overlap=cfg.overlap_matches,
+            seed=cfg.seed + widx, verbose=cfg.verbose,
+        )
+        recs.append(rec)
+        local = _poses_to_T(rec, rec.registered_frames())
+        local = {start + f: T for f, T in local.items()}
+
+        if not global_T:
+            global_T.update(local)
+        else:
+            shared = sorted(set(local) & set(global_T))
+            if len(shared) >= 2:
+                s, R, t = _similarity_from_pose_pairs(
+                    [local[f] for f in shared], [global_T[f] for f in shared]
+                )
+                S = np.eye(4)
+                S[:3, :3] = s * R
+                S[:3, 3] = t
+                for f, T in local.items():
+                    if f in global_T:
+                        continue
+                    Tg = S @ T
+                    # renormalize the rotation block (similarity scales it)
+                    U, _, Vt = np.linalg.svd(Tg[:3, :3])
+                    Tg[:3, :3] = U @ Vt
+                    global_T[f] = Tg
+            elif cfg.verbose:
+                print(f"[kitti] window at {start}: <2 shared frames, dropped")
+        if end >= F:
+            break
+        start += cfg.stride
+        widx += 1
+
+    Ts = [global_T.get(f) for f in range(F)]
+    return Ts, recs
+
+
+def evaluate_sequence(Ts, gt_T: np.ndarray):
+    """ATE/RPE of the stitched trajectory vs ground truth (frames missing
+    from the reconstruction are skipped)."""
+    sel = [i for i, T in enumerate(Ts) if T is not None]
+    est_c = np.stack([Ts[i][:3, 3] for i in sel])
+    gt_c = gt_T[sel][:, :3, 3]
+    ate_rms, aligned, sim = ate(est_c, gt_c)
+    t_rpe, r_rpe = rpe(np.stack([Ts[i] for i in sel]), gt_T[sel])
+    return {
+        "ate_rms": ate_rms,
+        "rpe_trans": t_rpe,
+        "rpe_rot": r_rpe,
+        "coverage": len(sel) / len(Ts),
+        "traj_len": trajectory_length(gt_c),
+    }
