@@ -17,7 +17,6 @@ is 0.1m, `ref/monodepth2/mono_dataset.py:203-209`).
 from __future__ import annotations
 
 from functools import partial
-from typing import Sequence
 
 import flax.linen as nn
 import jax

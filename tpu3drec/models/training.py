@@ -14,9 +14,6 @@ all-reduce over ICI; BatchNorm batch statistics reduce over the global
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import optax

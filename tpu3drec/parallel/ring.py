@@ -11,11 +11,9 @@ and peak memory 1/D of the full cloud.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from tpu3drec.sfm.icp import pairwise_sqdist

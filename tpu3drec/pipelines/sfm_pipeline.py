@@ -9,15 +9,13 @@ reads, so downstream reference-style tooling keeps working.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax.numpy as jnp
 import numpy as np
 
 from tpu3drec.core.quaternion import matrix_to_quat_wxyz, quat_xyzw_from_wxyz
-from tpu3drec.sfm.icp import icp
 from tpu3drec.sfm.incremental import Reconstruction, run_sfm
-from tpu3drec.utils.config import RGBDPipelineConfig
 from tpu3drec.utils.plyio import write_ply
 from tpu3drec.utils.poseio import PoseRecord, write_pose_txt
 
