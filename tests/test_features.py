@@ -146,3 +146,23 @@ class TestMatcher:
         assert pairs.shape == (5, 2)
         m = match_pairs(jnp.asarray(descs), jnp.asarray(valids), pairs)
         assert m.idx_a.shape == (5, K)
+
+
+class TestBatchedPallasMatcher:
+    def test_batched_pallas_equals_xla_path(self, rng):
+        from tpu3drec.sfm.matching import match_pairs, sequential_pairs
+        import jax.numpy as jnp
+
+        F, K, D = 4, 128, 32
+        descs = rng.normal(size=(F, K, D)).astype(np.float32)
+        descs /= np.linalg.norm(descs, axis=-1, keepdims=True)
+        valids = np.ones((F, K), bool)
+        valids[:, 100:] = False
+        pairs = sequential_pairs(F, overlap=2)
+        m_x = match_pairs(jnp.asarray(descs), jnp.asarray(valids), pairs,
+                          use_pallas=False)
+        m_p = match_pairs(jnp.asarray(descs), jnp.asarray(valids), pairs,
+                          use_pallas=True)  # interpret mode on CPU
+        np.testing.assert_array_equal(np.asarray(m_x.valid), np.asarray(m_p.valid))
+        v = np.asarray(m_x.valid)
+        np.testing.assert_array_equal(np.asarray(m_x.idx_b)[v], np.asarray(m_p.idx_b)[v])

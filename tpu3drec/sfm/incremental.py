@@ -24,7 +24,7 @@ import numpy as np
 from tpu3drec.core.se3 import axis_angle_to_matrix, matrix_to_axis_angle
 from tpu3drec.sfm.ba import BAProblem, ba_solve
 from tpu3drec.sfm.features import detect_and_describe
-from tpu3drec.sfm.matching import match_descriptors, sequential_pairs
+from tpu3drec.sfm.matching import match_pairs, sequential_pairs
 from tpu3drec.sfm.pnp import pnp_ransac
 from tpu3drec.sfm.triangulate import (
     projection_matrix,
@@ -123,15 +123,17 @@ def run_sfm(
     valid = np.asarray(kps.valid)
     rec.keypoints = xy
 
-    # 2. sequential matching
+    # 2. sequential matching — all pairs in one batched device dispatch
+    # (fused Pallas matcher on TPU, vmapped XLA elsewhere)
     pairs = np.asarray(sequential_pairs(F, overlap=overlap))
+    m = match_pairs(descs, kps.valid, jnp.asarray(pairs), ratio=ratio)
+    m_valid = np.asarray(m.valid)
+    m_ia = np.asarray(m.idx_a)
+    m_ib = np.asarray(m.idx_b)
     pair_matches = {}
-    for (i, j) in pairs:
-        m = match_descriptors(descs[i], descs[j], kps.valid[i], kps.valid[j], ratio=ratio)
-        sel = np.asarray(m.valid)
-        pair_matches[(int(i), int(j))] = (
-            np.asarray(m.idx_a)[sel], np.asarray(m.idx_b)[sel]
-        )
+    for p, (i, j) in enumerate(pairs):
+        sel = m_valid[p]
+        pair_matches[(int(i), int(j))] = (m_ia[p][sel], m_ib[p][sel])
 
     tracks = build_tracks(pair_matches)
     rec.tracks = tracks

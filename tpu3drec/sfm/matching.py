@@ -74,15 +74,52 @@ def match_descriptors(
 
 
 def match_pairs(descs: jnp.ndarray, valids: jnp.ndarray, pairs: jnp.ndarray,
-                ratio: float = 0.8) -> Matches:
+                ratio: float = 0.8, use_pallas: bool | None = None) -> Matches:
     """Batched matching over image pairs: descs (F, K, D), pairs (P, 2)
-    index rows. vmapped -> one big device dispatch for a whole sequence."""
+    index rows -> one big device dispatch for a whole sequence.
+
+    On TPU the fused Pallas kernel is the default: the XLA formulation
+    materializes a (P, K, K) score tensor in HBM (1.6 GB at P=24, K=4096 —
+    measured 218 ms vs 7 ms for the kernel); off-TPU the vmapped XLA path
+    runs."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        return _match_pairs_pallas(descs, valids, pairs, ratio)
 
     def one(pair):
         i, j = pair[0], pair[1]
         return match_descriptors(descs[i], descs[j], valids[i], valids[j], ratio=ratio)
 
     return jax.vmap(one)(pairs)
+
+
+@partial(jax.jit, static_argnames=("ratio",))
+def _match_pairs_pallas(descs, valids, pairs, ratio: float) -> Matches:
+    from tpu3drec.ops.matcher import topk2_scores_batched
+
+    K = descs.shape[1]
+    A = descs[pairs[:, 0]]
+    B = descs[pairs[:, 1]]
+    vA = valids[pairs[:, 0]]
+    vB = valids[pairs[:, 1]]
+    best_b, top2 = topk2_scores_batched(A, B, vB)
+    best_a_of_b, _ = topk2_scores_batched(B, A, vA)
+    s1 = top2[..., 0]
+    s2 = top2[..., 1]
+    mutual = (
+        jnp.take_along_axis(best_a_of_b, best_b, axis=1)
+        == jnp.arange(K)[None, :]
+    )
+    d1 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * s1, 0.0))
+    d2 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * s2, 0.0))
+    ok = mutual & (d1 < ratio * d2) & vA & (s1 > -2.0)
+    return Matches(
+        idx_a=jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :], best_b.shape),
+        idx_b=best_b.astype(jnp.int32),
+        score=jnp.where(ok, s1, 0.0),
+        valid=ok,
+    )
 
 
 def sequential_pairs(n_frames: int, overlap: int = 3) -> jnp.ndarray:
