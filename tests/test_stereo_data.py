@@ -161,3 +161,27 @@ class TestDatasets:
         img = rng.uniform(size=(8, 8, 3)).astype(np.float32)
         p = {"brightness": 1.0, "contrast": 1.0, "saturation": 1.0, "hue": 0.0}
         np.testing.assert_allclose(apply_color_jitter(img, p), img, atol=1e-6)
+
+
+class TestLoaderResilience:
+    def test_corrupt_samples_skipped(self):
+        from tpu3drec.data.datasets import SequenceSpec
+        from tpu3drec.data.loader import TripletLoader
+
+        class FlakyDS:
+            def load_color(self, folder, idx, size=None):
+                if idx in (3, 4, 5):  # frame 4's whole triplet is bad
+                    raise OSError("corrupt file")
+                r = np.random.default_rng(idx)
+                return (r.uniform(size=(16, 24, 3)) * 255).astype(np.uint8)
+
+        specs = [SequenceSpec("x", i) for i in (1, 2, 4, 7, 8, 9)]
+        loader = TripletLoader(FlakyDS(), specs, batch_size=2, height=16,
+                               width=24, augment=False, prefetch=0)
+        batches = list(loader)
+        # specs 2 (needs frame 3) and 4 (frames 3,4,5) are unreadable ->
+        # 4 good samples -> 2 full batches, 2 skips
+        assert len(batches) == 2
+        assert loader.skipped == 2
+        for b in batches:
+            assert b["target"].shape == (2, 16, 24, 3)

@@ -82,6 +82,7 @@ class TripletLoader:
         self.with_gt_depth = with_gt_depth
         self.rng = np.random.default_rng(seed)
         self.prefetch = prefetch
+        self.skipped = 0  # unreadable samples dropped (resilience counter)
 
     def __len__(self):
         return len(self.specs) // self.batch_size
@@ -111,13 +112,25 @@ class TripletLoader:
         return sample
 
     def _batches(self, order):
+        """Assemble batches, skipping unreadable samples (corrupt files,
+        missing neighbors) instead of killing the epoch — the failure-
+        tolerance the reference lacks (a bad PNG aborts its DataLoader)."""
         B = self.batch_size
-        for i in range(0, len(order) - B + 1, B):
-            samples = [self._load_sample(self.specs[j]) for j in order[i : i + B]]
-            batch = {
-                k: np.stack([s[k] for s in samples]) for k in samples[0]
-            }
-            yield batch
+        samples = []
+        for j in order:
+            try:
+                samples.append(self._load_sample(self.specs[j]))
+            except (OSError, ValueError, IndexError, KeyError) as e:
+                self.skipped += 1
+                if self.skipped <= 10:
+                    import sys
+
+                    print(f"[loader] skipping sample {self.specs[j]}: {e}",
+                          file=sys.stderr)
+                continue
+            if len(samples) == B:
+                yield {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+                samples = []
 
     def __iter__(self):
         order = self.rng.permutation(len(self.specs))
