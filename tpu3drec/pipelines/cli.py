@@ -131,6 +131,17 @@ def _cmd_ply2bt(args):
 
 
 def main(argv=None):
+    # persistent compile cache: remote-compile latency on tunneled TPUs is
+    # highly variable (measured 2s-180s for identical programs) — repeat CLI
+    # invocations must not pay it twice
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/tpu3drec_xla"))
+    except Exception:
+        pass
+
     p = argparse.ArgumentParser(prog="tpu3drec")
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -97,9 +97,10 @@ class ICPResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("iters", "with_scale", "block"))
-def icp(
-    src: jnp.ndarray,          # (N,3) moving cloud
-    dst: jnp.ndarray,          # (M,3) fixed cloud
+def _icp_core(
+    src: jnp.ndarray,          # (N,3) moving cloud (padded)
+    src_valid: jnp.ndarray,    # (N,) bool — padded rows False
+    dst: jnp.ndarray,          # (M,3) fixed cloud (padded rows far away)
     iters: int = 20,
     with_scale: bool = True,
     inlier_quantile: float = 0.9,
@@ -111,16 +112,20 @@ def icp(
     (trimming handles partial overlap). Returns the 4x4 T with scale folded
     into the rotation block — exactly the ``T_data.txt`` contract the
     reference's fusion step consumes (`transfer_T_icp.py:33-43`)."""
-    n = src.shape[0]
+    wv = src_valid.astype(src.dtype)
+    n_valid = jnp.maximum(jnp.sum(wv), 1.0)
+    # dst validity: padded dst rows sit at the 1e9 sentinel
+    dv = (jnp.abs(dst[:, 0]) < 1e8).astype(src.dtype)
+    m_valid = jnp.maximum(jnp.sum(dv), 1.0)
 
     if init_T is None:
         # centroid + RMS-radius pre-alignment: gets translation and gross
         # scale into the NN search's basin of attraction
-        mu_s = jnp.mean(src, axis=0)
-        mu_d = jnp.mean(dst, axis=0)
+        mu_s = jnp.einsum("n,ni->i", wv, src) / n_valid
+        mu_d = jnp.einsum("m,mi->i", dv, dst) / m_valid
         if with_scale:
-            r_s = jnp.sqrt(jnp.mean(jnp.sum((src - mu_s) ** 2, axis=-1)))
-            r_d = jnp.sqrt(jnp.mean(jnp.sum((dst - mu_d) ** 2, axis=-1)))
+            r_s = jnp.sqrt(jnp.einsum("n,n->", wv, jnp.sum((src - mu_s) ** 2, axis=-1)) / n_valid)
+            r_d = jnp.sqrt(jnp.einsum("m,m->", dv, jnp.sum((dst - mu_d) ** 2, axis=-1)) / m_valid)
             s0 = r_d / jnp.maximum(r_s, 1e-12)
         else:
             s0 = jnp.asarray(1.0, src.dtype)
@@ -133,9 +138,11 @@ def icp(
     def step(T, _):
         cur = src @ T[:3, :3].T + T[:3, 3]
         idx, d2 = nearest_neighbors(cur, dst, block=block)
-        # trimmed weights: keep the best inlier_quantile fraction
-        thresh = jnp.quantile(d2, inlier_quantile)
-        w = (d2 <= thresh).astype(src.dtype)
+        # trimmed weights over VALID rows only (padded src rows excluded)
+        thresh = jnp.nanquantile(
+            jnp.where(src_valid, d2, jnp.nan), inlier_quantile
+        )
+        w = (d2 <= thresh).astype(src.dtype) * wv
         matched = dst[idx]
         s, R, t = umeyama(cur, matched, w, with_scale=with_scale)
         dT = jnp.eye(4, dtype=src.dtype)
@@ -149,6 +156,34 @@ def icp(
     A = T[:3, :3]
     scale = jnp.exp(jnp.log(jnp.maximum(jnp.linalg.det(A), 1e-20)) / 3.0)
     return ICPResult(T=T, scale=scale, rmse=rmses[-1], n_inliers=n_in[-1].astype(jnp.int32))
+
+
+def icp(
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    iters: int = 20,
+    with_scale: bool = True,
+    inlier_quantile: float = 0.9,
+    block: int = 2048,
+    init_T: jnp.ndarray | None = None,
+    bucket: int = 256,
+) -> ICPResult:
+    """Public entry: pads both clouds to `bucket` multiples before the
+    jitted core. Two reasons (both measured): odd shapes can compile
+    pathologically slowly on TPU (188s vs 1.4s for one 107-point cloud),
+    and bucketing makes repeat calls with nearby sizes reuse the cache."""
+    src = jnp.asarray(src, dtype=jnp.float32)
+    dst = jnp.asarray(dst, dtype=jnp.float32)
+    n, m = src.shape[0], dst.shape[0]
+    pad_n = (-n) % bucket
+    pad_m = (-m) % bucket
+    src_p = jnp.pad(src, ((0, pad_n), (0, 0)))
+    valid = jnp.arange(n + pad_n) < n
+    dst_p = jnp.pad(dst, ((0, pad_m), (0, 0)), constant_values=1e9)
+    return _icp_core(
+        src_p, valid, dst_p, iters=iters, with_scale=with_scale,
+        inlier_quantile=inlier_quantile, block=block, init_T=init_T,
+    )
 
 
 def icp_scale_correction(cloud_a: jnp.ndarray, cloud_b: jnp.ndarray, **kw) -> jnp.ndarray:

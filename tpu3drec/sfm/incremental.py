@@ -111,6 +111,8 @@ def run_sfm(
 ) -> Reconstruction:
     """Full incremental reconstruction of a sequential image set."""
     F = images.shape[0]
+    if F < 2:
+        raise ValueError(f"incremental SfM needs >= 2 frames, got {F}")
     rngs = jax.random.split(jax.random.PRNGKey(seed), F + 8)
     rec = Reconstruction(K=np.asarray(K, np.float32))
 

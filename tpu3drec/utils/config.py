@@ -22,20 +22,27 @@ def to_dict(cfg) -> dict:
 
 
 def from_dict(cls, d: dict):
-    """Recursively build a dataclass from a plain dict (inverse of to_dict)."""
+    """Recursively build a dataclass from a plain dict (inverse of to_dict).
+
+    Field types are resolved with ``get_type_hints`` — under
+    ``from __future__ import annotations`` the raw ``f.type`` is a string,
+    which silently skipped nested-dataclass conversion (found driving the
+    CLI with a JSON config)."""
+    import typing
+
     if not is_dataclass(cls):
         return d
+    hints = typing.get_type_hints(cls)
     kwargs = {}
     for f in fields(cls):
         if f.name not in d:
             continue
         v = d[f.name]
-        if is_dataclass(f.type) and isinstance(v, dict):
-            v = from_dict(f.type, v)
+        ftype = hints.get(f.name, f.type)
+        if is_dataclass(ftype) and isinstance(v, dict):
+            v = from_dict(ftype, v)
         elif isinstance(v, list):
             v = list(v)
-        elif isinstance(v, dict) and hasattr(f.type, "__dataclass_fields__"):
-            v = from_dict(f.type, v)
         kwargs[f.name] = v
     return cls(**kwargs)
 
