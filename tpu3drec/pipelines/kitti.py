@@ -16,6 +16,7 @@ import numpy as np
 
 from tpu3drec.sfm.icp import umeyama
 from tpu3drec.sfm.incremental import run_sfm
+from tpu3drec.sfm.posegraph import PoseGraph, optimize_pose_graph
 from tpu3drec.utils.trajectory_eval import ate, rpe, trajectory_length
 
 
@@ -27,6 +28,7 @@ class KittiRunConfig:
                               # similarity stitch; 2-frame stitches drift)
     max_keypoints: int = 512
     overlap_matches: int = 3  # sequential matching overlap inside a window
+    pose_graph: bool = True   # GN pose-graph refinement over window edges
     seed: int = 0
     verbose: bool = False
 
@@ -76,6 +78,7 @@ def run_windowed_sfm(
     cfg = cfg or KittiRunConfig()
     F = images.shape[0]
     global_T: dict[int, np.ndarray] = {}
+    window_edges: list = []  # (f1, f2, T_rel_window_scale, stitch_scale)
     recs = []
     start = 0
     widx = 0
@@ -90,6 +93,7 @@ def run_windowed_sfm(
         local = _poses_to_T(rec, rec.registered_frames())
         local = {start + f: T for f, T in local.items()}
 
+        stitch_scale = 1.0
         if not global_T:
             global_T.update(local)
         else:
@@ -98,6 +102,7 @@ def run_windowed_sfm(
                 s, R, t = _similarity_from_pose_pairs(
                     [local[f] for f in shared], [global_T[f] for f in shared]
                 )
+                stitch_scale = float(s)
                 S = np.eye(4)
                 S[:3, :3] = s * R
                 S[:3, 3] = t
@@ -111,13 +116,87 @@ def run_windowed_sfm(
                     global_T[f] = Tg
             elif cfg.verbose:
                 print(f"[kitti] window at {start}: <2 shared frames, dropped")
+        # odometry edges from this window (consecutive registered frames),
+        # remembered with the stitch scale that maps them into global units
+        loc_frames = sorted(local)
+        for f1, f2 in zip(loc_frames[:-1], loc_frames[1:]):
+            T_rel = np.linalg.inv(local[f1]) @ local[f2]
+            window_edges.append((f1, f2, T_rel, stitch_scale))
         if end >= F:
             break
         start += cfg.stride
         widx += 1
 
     Ts = [global_T.get(f) for f in range(F)]
+    if cfg.pose_graph:
+        Ts = _refine_with_pose_graph(Ts, window_edges)
     return Ts, recs
+
+
+def _refine_with_pose_graph(Ts, window_edges):
+    """Pose-graph refinement over the stitched trajectory: every window
+    contributes relative-pose edges between its registered frames (overlap
+    regions get edges from multiple windows — consensus), optimized with
+    Gauss-Newton (`sfm/posegraph.py`). Edge translations are rescaled by
+    each window's stitch scale so all measurements share the global scale."""
+    import jax.numpy as jnp
+
+    from tpu3drec.core.se3 import matrix_to_axis_angle
+
+    present = [i for i, T in enumerate(Ts) if T is not None]
+    if len(present) < 3 or not window_edges:
+        return Ts
+    idx_of = {f: i for i, f in enumerate(present)}
+
+    def to6(T):
+        return np.concatenate(
+            [np.asarray(matrix_to_axis_angle(jnp.asarray(T[:3, :3]))), T[:3, 3]]
+        )
+
+    poses6 = np.stack([to6(Ts[f]) for f in present]).astype(np.float32)
+    ei, ej, rel, w = [], [], [], []
+    for (f1, f2, T_rel, s_w) in window_edges:
+        if f1 not in idx_of or f2 not in idx_of:
+            continue
+        Tr = T_rel.copy()
+        Tr[:3, 3] *= s_w
+        ei.append(idx_of[f1])
+        ej.append(idx_of[f2])
+        rel.append(to6(Tr))
+        w.append(1.0)
+    if len(ei) < 2:
+        return Ts
+    g = PoseGraph(
+        poses=jnp.asarray(poses6),
+        edge_i=jnp.asarray(ei, dtype=jnp.int32),
+        edge_j=jnp.asarray(ej, dtype=jnp.int32),
+        rel=jnp.asarray(np.stack(rel), dtype=jnp.float32),
+        weight=jnp.asarray(w, dtype=jnp.float32),
+    )
+    # robust gate: a single mis-registered boundary frame yields an edge
+    # with a huge residual that deforms the whole graph under plain GN
+    # (measured: one 27.9-norm edge among 0.0004-median edges turned a
+    # 0.15 ATE into 1.03). Zero-weight edges far off the initial guess.
+    from tpu3drec.sfm.posegraph import edge_residuals
+
+    r0 = np.linalg.norm(np.asarray(edge_residuals(g.poses, g)), axis=1)
+    gate = max(10.0 * np.median(r0), 0.05)
+    w_robust = np.where(r0 < gate, 1.0, 0.0).astype(np.float32)
+    if w_robust.sum() < 2:
+        return Ts
+    g = g._replace(weight=jnp.asarray(w_robust))
+    opt, _ = optimize_pose_graph(g, iters=10)
+    opt = np.asarray(opt)
+
+    from tpu3drec.core.se3 import axis_angle_to_matrix
+
+    out = list(Ts)
+    for f, i in idx_of.items():
+        T = np.eye(4)
+        T[:3, :3] = np.asarray(axis_angle_to_matrix(jnp.asarray(opt[i, :3])))
+        T[:3, 3] = opt[i, 3:]
+        out[f] = T
+    return out
 
 
 def evaluate_sequence(Ts, gt_T: np.ndarray):
