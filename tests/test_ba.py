@@ -114,3 +114,64 @@ def test_ba_respects_weights_mask(rng):
     r = np.asarray(residuals(prob._replace(
         cam_params=res.cam_params, points=res.points)))[50:]
     assert np.abs(r).mean() < 1e-2
+
+
+def test_depth_prior_fixes_scale(rng):
+    """Reprojection-only BA has a free scale gauge; with per-observation
+    metric depth the scale is pinned. Shrink the whole problem by 0.7 and
+    let the depth rows pull it back."""
+    prob, gt_cams, gt_X = _make_problem(rng, F=4, L=80)
+    # true camera-frame depths for each observation
+    from tpu3drec.core.se3 import axis_angle_to_matrix
+    cams = np.asarray(prob.cam_params)
+    Xs = np.asarray(prob.points)
+    ci = np.asarray(prob.cam_idx)
+    pi = np.asarray(prob.pt_idx)
+    z = np.empty(len(ci), np.float32)
+    for o in range(len(ci)):
+        R = np.asarray(axis_angle_to_matrix(jnp.asarray(cams[ci[o], :3])))
+        z[o] = (R @ Xs[pi[o]] + cams[ci[o], 3:])[2]
+
+    s = 0.7
+    shrunk = prob._replace(
+        cam_params=jnp.asarray(
+            np.concatenate([cams[:, :3], cams[:, 3:] * s], axis=1)),
+        points=jnp.asarray(Xs * s),
+        depth=jnp.asarray(z),
+        depth_weight=5.0,
+    )
+    # free everything except cam0 rotation+translation... keep cam0 frozen:
+    # depth rows now carry the scale information
+    res = ba_solve(shrunk, max_lm_iters=30, cg_iters=30)
+    # recovered camera-frame depths must match the metric measurements
+    new_cams = np.asarray(res.cam_params)
+    new_X = np.asarray(res.points)
+    z_new = np.empty(len(ci), np.float32)
+    for o in range(len(ci)):
+        R = np.asarray(axis_angle_to_matrix(jnp.asarray(new_cams[ci[o], :3])))
+        z_new[o] = (R @ new_X[pi[o]] + new_cams[ci[o], 3:])[2]
+    rel = np.abs(z_new - z) / z
+    assert np.median(rel) < 0.02, np.median(rel)
+
+
+def test_depth_prior_zero_depth_rows_inactive(rng):
+    """depth=0 rows contribute nothing: the converged quality must match the
+    no-depth path. (Raw parameters are compared loosely — the two programs
+    sum in different orders and LM amplifies f32 noise along the 7-dof gauge
+    null-space, where parameters move freely at equal cost.)"""
+    prob, _, _ = _make_problem(rng, F=4, L=60, perturb=0.005)
+    res_plain = ba_solve(prob, max_lm_iters=8, cg_iters=15)
+    res_zero = ba_solve(
+        prob._replace(depth=jnp.zeros(prob.uv.shape[0]), depth_weight=5.0),
+        max_lm_iters=8, cg_iters=15,
+    )
+    np.testing.assert_allclose(
+        float(res_zero.initial_cost), float(res_plain.initial_cost), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(res_zero.final_cost), float(res_plain.final_cost),
+        rtol=1e-3, atol=1e-5,
+    )
+    r_zero = np.asarray(residuals(prob._replace(
+        cam_params=res_zero.cam_params, points=res_zero.points)))
+    assert np.abs(r_zero).mean() < 1e-2  # converged to the same quality

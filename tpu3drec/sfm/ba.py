@@ -41,6 +41,10 @@ class BAProblem(NamedTuple):
     uv: jnp.ndarray          # (O, 2) pixel observations
     weight: jnp.ndarray      # (O,) 0 = padding/invalid
     K: jnp.ndarray           # (3, 3) shared intrinsics
+    depth: jnp.ndarray | None = None   # (O,) metric z per obs, 0 = none —
+                                       # anchors the scale gauge (fixes the
+                                       # forward-motion weak mode, design.md §7)
+    depth_weight: float = 1.0          # residual weight (px-equivalent units)
 
 
 class BAResult(NamedTuple):
@@ -61,17 +65,36 @@ def _project_one(cam, X, K):
     return jnp.stack([u, v])
 
 
+def _residual_one_depth(cam, X, K, uv, d, wd):
+    """Extended residual with a metric-depth prior row:
+    [u - u_m, v - v_m, wd * has_depth * (z - d)]."""
+    R = axis_angle_to_matrix(cam[:3])
+    Xc = R @ X + cam[3:]
+    z = jnp.where(jnp.abs(Xc[2]) < 1e-9, 1e-9, Xc[2])
+    u = Xc[0] / z * K[0, 0] + K[0, 2]
+    v = Xc[1] / z * K[1, 1] + K[1, 2]
+    has = (d > 1e-6).astype(cam.dtype)
+    return jnp.stack([u - uv[0], v - uv[1], wd * has * (Xc[2] - d)])
+
+
 def residuals(p: BAProblem) -> jnp.ndarray:
-    """(O, 2) reprojection residuals (prediction - measurement)."""
+    """(O, 2) reprojection residuals — or (O, 3) with a depth-prior row when
+    the problem carries per-observation metric depth."""
     cams = p.cam_params[p.cam_idx]
     pts = p.points[p.pt_idx]
+    if p.depth is not None:
+        wd = jnp.asarray(p.depth_weight, p.uv.dtype)
+        return jax.vmap(_residual_one_depth, in_axes=(0, 0, None, 0, 0, None))(
+            cams, pts, p.K, p.uv, p.depth, wd
+        )
     pred = jax.vmap(_project_one, in_axes=(0, 0, None))(cams, pts, p.K)
     return pred - p.uv
 
 
 def huber_weights(r: jnp.ndarray, delta: float) -> jnp.ndarray:
-    """IRLS weights for the Huber loss on the residual norm, (O,)."""
-    n = jnp.linalg.norm(r, axis=-1)
+    """IRLS weights for the Huber loss on the *pixel* residual norm, (O,)
+    (the depth-prior row, if present, does not drive robustness)."""
+    n = jnp.linalg.norm(r[..., :2], axis=-1)
     return jnp.where(n <= delta, 1.0, delta / jnp.maximum(n, 1e-12))
 
 
@@ -79,6 +102,18 @@ def _obs_jacobians(p: BAProblem):
     """Per-observation Jacobians: (O,2,6) wrt camera, (O,2,3) wrt point."""
     cams = p.cam_params[p.cam_idx]
     pts = p.points[p.pt_idx]
+
+    if p.depth is not None:
+        wd = jnp.asarray(p.depth_weight, p.uv.dtype)
+
+        def one_d(cam, X, uv, d):
+            Jc = jax.jacfwd(
+                lambda c: _residual_one_depth(c, X, p.K, uv, d, wd))(cam)
+            Jp = jax.jacfwd(
+                lambda x: _residual_one_depth(cam, x, p.K, uv, d, wd))(X)
+            return Jc, Jp
+
+        return jax.vmap(one_d)(cams, pts, p.uv, p.depth)
 
     def one(cam, X):
         Jc = jax.jacfwd(lambda c: _project_one(c, X, p.K))(cam)
@@ -123,11 +158,13 @@ def ba_solve(
 
     def cost_of(cam_params, points):
         r = residuals(p._replace(cam_params=cam_params, points=points))
-        n = jnp.linalg.norm(r, axis=-1)
-        # Huber objective
+        n = jnp.linalg.norm(r[..., :2], axis=-1)
+        # Huber on the pixel part; quadratic on the depth-prior row
         c = jnp.where(
             n <= huber_px, 0.5 * n ** 2, huber_px * (n - 0.5 * huber_px)
         )
+        if r.shape[-1] > 2:
+            c = c + 0.5 * r[..., 2] ** 2
         return jnp.sum(c * p.weight)
 
     init_cost = cost_of(p.cam_params, p.points)
