@@ -109,3 +109,23 @@ def test_pose_export_contract(tmp_path, captured, reconstruction):
     write_ply(str(tmp_path / "sparse.ply"), pts)
     got, _ = read_ply(str(tmp_path / "sparse.ply"))
     assert got.shape[0] == len(rec.points)
+
+
+@pytest.mark.slow
+def test_depth_prior_sfm_is_metric(captured):
+    """run_sfm with depth priors in BA: the trajectory comes out metric
+    WITHOUT any post-hoc scale correction (the principled fix for the
+    forward-motion weak mode — docs/design.md §7)."""
+    images, depths, poses, K, cam = captured
+    rec = run_sfm(images, K, max_keypoints=256, overlap=3, seed=0,
+                  depth_maps=depths, depth_weight=2.0)
+    frames = rec.registered_frames()
+    assert len(frames) == len(poses)
+    est = np.stack([-rec.poses[f][0].T @ rec.poses[f][1] for f in frames])
+    gt = np.stack([-poses[f][0].T @ poses[f][1] for f in frames])
+    est_len = trajectory_length(est)
+    gt_len = trajectory_length(gt)
+    assert abs(est_len - gt_len) / gt_len < 0.1, (est_len, gt_len)
+    # and the shape is still good
+    err, _, _ = ate(est, gt)
+    assert err < 0.03 * gt_len

@@ -107,6 +107,10 @@ def run_sfm(
     seed: int = 0,
     upright: bool = True,
     ratio: float = 0.85,
+    depth_maps: np.ndarray | None = None,  # (F,H,W) metric depth: BA gets
+                                           # per-obs depth priors -> metric
+                                           # reconstruction (0 = no return)
+    depth_weight: float = 2.0,
     verbose: bool = False,
 ) -> Reconstruction:
     """Full incremental reconstruction of a sequential image set."""
@@ -174,7 +178,7 @@ def run_sfm(
     rec.scale_anchor = k
 
     _triangulate_new(rec, tracks, xy, min_track_len)
-    _run_ba(rec, tracks, xy)  # polish the seed before growing (COLMAP-style)
+    _run_ba(rec, tracks, xy, depth_maps, depth_weight)  # polish the seed before growing (COLMAP-style)
     if verbose:
         print(f"[sfm] init pair (0, {k}): {len(rec.points)} landmarks")
 
@@ -215,12 +219,12 @@ def run_sfm(
             _triangulate_new(rec, tracks, xy, min_track_len)
 
             if (len(rec.poses) % ba_every == 0):
-                _run_ba(rec, tracks, xy)
+                _run_ba(rec, tracks, xy, depth_maps, depth_weight)
             if verbose:
                 print(f"[sfm] frame {f}: {n_inl}/{n} PnP inliers, "
                       f"{len(rec.points)} landmarks")
 
-    _run_ba(rec, tracks, xy)
+    _run_ba(rec, tracks, xy, depth_maps, depth_weight)
     return rec
 
 
@@ -261,19 +265,30 @@ def _triangulate_new(rec: Reconstruction, tracks, xy, min_track_len):
                 rec.points[tid] = Xn[m].astype(np.float32)
 
 
-def _run_ba(rec: Reconstruction, tracks, xy):
-    """Global BA over all registered frames + landmarks (static-padded)."""
+def _run_ba(rec: Reconstruction, tracks, xy, depth_maps=None, depth_weight=2.0):
+    """Global BA over all registered frames + landmarks (static-padded).
+    With depth_maps, each observation carries the metric depth at its
+    keypoint pixel as a prior row (sfm/ba.py) — the reconstruction comes
+    out metric instead of up-to-scale."""
     frames, cam_params = rec.cameras_as_params()
     fidx = {f: i for i, f in enumerate(frames)}
     tids = [t for t in rec.points]
     tidx = {t: i for i, t in enumerate(tids)}
-    cam_i, pt_i, uvs = [], [], []
+    cam_i, pt_i, uvs, dvals = [], [], [], []
     for t in tids:
         for f, k in tracks[t].items():
             if f in fidx:
                 cam_i.append(fidx[f])
                 pt_i.append(tidx[t])
                 uvs.append(xy[f, k])
+                if depth_maps is not None:
+                    u, v = xy[f, k]
+                    ui, vi = int(round(u)), int(round(v))
+                    H, W = depth_maps[f].shape
+                    dvals.append(
+                        float(depth_maps[f][vi, ui])
+                        if 0 <= ui < W and 0 <= vi < H else 0.0
+                    )
     if len(cam_i) < 10 or len(frames) < 2:
         return
     O = len(cam_i)
@@ -288,6 +303,12 @@ def _run_ba(rec: Reconstruction, tracks, xy):
     w[:O] = 1.0
     points = np.stack([rec.points[t] for t in tids]).astype(np.float32)
 
+    depth = None
+    if depth_maps is not None:
+        depth = np.zeros(cap, np.float32)
+        depth[:O] = np.asarray(dvals, np.float32)
+        depth = jnp.asarray(depth)
+
     prob = BAProblem(
         cam_params=jnp.asarray(cam_params),
         points=jnp.asarray(points),
@@ -296,15 +317,20 @@ def _run_ba(rec: Reconstruction, tracks, xy):
         uv=jnp.asarray(uv),
         weight=jnp.asarray(w),
         K=jnp.asarray(rec.K),
+        depth=depth,
+        depth_weight=depth_weight,
     )
-    # exactly-7-dof gauge: freeze the first frame (6) plus ONE translation
-    # component of the scale anchor (largest magnitude, so it pins scale
-    # without constraining the direction BA may still need to correct)
+    # gauge: freeze the first frame (6-dof global SE3). Without depth the
+    # scale is also free: pin ONE translation component of the scale anchor
+    # (largest magnitude — pins scale without constraining the direction BA
+    # may still need to correct). With depth priors the scale is observable
+    # and must stay free.
     mask = np.ones((len(frames), 6), np.float32)
     mask[0] = 0.0
-    anchor = rec.scale_anchor if rec.scale_anchor in fidx else frames[min(1, len(frames) - 1)]
-    t_anchor = cam_params[fidx[anchor], 3:]
-    mask[fidx[anchor], 3 + int(np.argmax(np.abs(t_anchor)))] = 0.0
+    if depth_maps is None:
+        anchor = rec.scale_anchor if rec.scale_anchor in fidx else frames[min(1, len(frames) - 1)]
+        t_anchor = cam_params[fidx[anchor], 3:]
+        mask[fidx[anchor], 3 + int(np.argmax(np.abs(t_anchor)))] = 0.0
     res = ba_solve(prob, max_lm_iters=10, cg_iters=15,
                    fix_cam_mask=jnp.asarray(mask))
     new_cams = np.asarray(res.cam_params)
