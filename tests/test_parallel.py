@@ -117,3 +117,39 @@ class TestShardedFusion:
             100.0, 100.0, 12.0, 8.0,
         )
         np.testing.assert_allclose(np.asarray(pts), np.asarray(pts2), atol=1e-5)
+
+
+class TestTensorParallel:
+    def test_tp_sharded_training_step_matches_replicated(self, rng):
+        """TP over the model axis: same loss as replicated params (the
+        capability SURVEY §2.3 keeps available, off by default)."""
+        from tpu3drec.models.training import TrainConfig, init_state, make_train_step
+        from tpu3drec.parallel.mesh import make_mesh
+        from tpu3drec.parallel.tp import shard_params_tp, tp_param_shardings
+
+        mesh = make_mesh(data=4, space=1, model=2)
+        H, W = 32, 64
+        cfg = TrainConfig(height=H, width=W, batch_size=4)
+        model, state, tx = init_state(jax.random.PRNGKey(0), cfg, 10)
+        step = make_train_step(model, tx, cfg)
+        batch = {
+            k: jnp.asarray(rng.uniform(size=(4, H, W, 3)).astype(np.float32))
+            for k in ("target", "prev", "next")
+        }
+        key = jax.random.PRNGKey(1)
+        _, loss_repl, _ = step(state, batch, key)
+
+        shardings = tp_param_shardings(state.params, mesh)
+        # at least the wide conv kernels must actually be sharded
+        n_sharded = sum(
+            1 for s in jax.tree_util.tree_leaves(
+                jax.tree_util.tree_map(lambda x: x.spec != P(), shardings,
+                                       is_leaf=lambda x: isinstance(x, NamedSharding))
+            ) if s
+        )
+        assert n_sharded > 5
+        tp_params = shard_params_tp(state.params, mesh)
+        state_tp = jax.tree_util.tree_map(lambda x: x, state)
+        state_tp.params = tp_params
+        _, loss_tp, _ = step(state_tp, batch, key)
+        np.testing.assert_allclose(float(loss_tp), float(loss_repl), rtol=1e-4)
