@@ -117,6 +117,31 @@ def _cmd_train_mono(args):
     train(cfg, tl, vl)
 
 
+def _cmd_kitti_eval(args):
+    from tpu3drec.data.kitti_odom import KittiOdometryDataset
+    from tpu3drec.pipelines.kitti import (
+        KittiRunConfig, evaluate_sequence, run_windowed_sfm,
+    )
+
+    ds = KittiOdometryDataset(args.root, args.sequence)
+    n = args.frames or ds.num_frames()
+    print(f"loading {n} frames of sequence {args.sequence} ...")
+    images = ds.load_sequence(start=args.start, count=n,
+                              size=(args.width, args.height) if args.width else None)
+    K = ds.calib()
+    if args.width:
+        sx = args.width / ds.load_gray(args.start).shape[1]
+        K = K.copy()
+        K[0] *= sx
+        K[1] *= sx
+    cfg = KittiRunConfig(window=args.window, stride=args.stride,
+                         max_keypoints=args.max_keypoints, verbose=True)
+    Ts, recs = run_windowed_sfm(images, K, cfg)
+    gt = ds.gt_poses()[args.start:args.start + n]
+    m = evaluate_sequence(Ts, gt)
+    print({k: round(float(v), 4) for k, v in m.items()})
+
+
 def _cmd_ply2bt(args):
     from tpu3drec.mapping.btio import write_bt
     from tpu3drec.mapping.voxel import dedup_voxels_host
@@ -190,6 +215,18 @@ def main(argv=None):
     q.add_argument("--use-gt-pose", dest="use_gt_pose", action="store_true")
     q.add_argument("--log-dir", dest="log_dir", default="runs/monocular")
     q.set_defaults(fn=_cmd_train_mono)
+
+    q = sub.add_parser("kitti-eval", help="windowed SfM + ATE on a KITTI sequence")
+    q.add_argument("root", help="KITTI odometry root (sequences/, poses/)")
+    q.add_argument("--sequence", default="00")
+    q.add_argument("--start", type=int, default=0)
+    q.add_argument("--frames", type=int, default=0)
+    q.add_argument("--width", type=int, default=0, help="downscale width (0=native)")
+    q.add_argument("--height", type=int, default=0)
+    q.add_argument("--window", type=int, default=12)
+    q.add_argument("--stride", type=int, default=7)
+    q.add_argument("--max-keypoints", dest="max_keypoints", type=int, default=512)
+    q.set_defaults(fn=_cmd_kitti_eval)
 
     q = sub.add_parser("ply2bt", help="PLY -> octomap .bt")
     q.add_argument("ply")
