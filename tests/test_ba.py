@@ -175,3 +175,19 @@ def test_depth_prior_zero_depth_rows_inactive(rng):
     r_zero = np.asarray(residuals(prob._replace(
         cam_params=res_zero.cam_params, points=res_zero.points)))
     assert np.abs(r_zero).mean() < 1e-2  # converged to the same quality
+
+
+def test_pallas_blocks_path_converges_like_jacfwd(rng):
+    """The Pallas assembly kernel + manifold update must reach the same
+    converged quality as the jacfwd path (different parameterizations ->
+    compare residual quality, not raw parameters)."""
+    prob, _, _ = _make_problem(rng, F=5, L=80, perturb=0.008)
+    res_ref = ba_solve(prob, max_lm_iters=20, cg_iters=25)
+    res_pal = ba_solve(prob, max_lm_iters=20, cg_iters=25,
+                       use_pallas_blocks=True)
+    r_ref = np.abs(np.asarray(residuals(prob._replace(
+        cam_params=res_ref.cam_params, points=res_ref.points)))).mean()
+    r_pal = np.abs(np.asarray(residuals(prob._replace(
+        cam_params=res_pal.cam_params, points=res_pal.points)))).mean()
+    assert r_pal < 1e-2, r_pal
+    assert r_pal < max(10 * r_ref, 1e-3)

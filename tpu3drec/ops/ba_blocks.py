@@ -30,7 +30,7 @@ TILE_O = 512
 
 
 def _ba_blocks_kernel(xc_ref, rmat_ref, uv_ref, w_ref, k_ref,
-                      res_ref, U_ref, V_ref, W_ref, bc_ref, bp_ref):
+                      res_ref, U_ref, V_ref, W_ref, bc_ref, bp_ref, J_ref):
     fx = k_ref[0, 0]
     fy = k_ref[0, 1]
     cx = k_ref[0, 2]
@@ -90,6 +90,13 @@ def _ba_blocks_kernel(xc_ref, rmat_ref, uv_ref, w_ref, k_ref,
         bc_ref[:, a] = -w * (Ju[a] * ru + Jv[a] * rv)
     for a in range(3):
         bp_ref[:, a] = -w * (Pu[a] * ru + Pv[a] * rv)
+    # raw Jacobian rows for matrix-free Schur products: [Ju | Jv | Pu | Pv]
+    for a in range(6):
+        J_ref[:, a] = Ju[a]
+        J_ref[:, 6 + a] = Jv[a]
+    for a in range(3):
+        J_ref[:, 12 + a] = Pu[a]
+        J_ref[:, 15 + a] = Pv[a]
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -125,7 +132,7 @@ def ba_blocks(
             spec(3), spec(9), spec(2), spec(1),
             pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=[spec(2), spec(36), spec(9), spec(18), spec(6), spec(3)],
+        out_specs=[spec(2), spec(36), spec(9), spec(18), spec(6), spec(3), spec(18)],
         out_shape=[
             jax.ShapeDtypeStruct((n, 2), jnp.float32),
             jax.ShapeDtypeStruct((n, 36), jnp.float32),
@@ -133,6 +140,7 @@ def ba_blocks(
             jax.ShapeDtypeStruct((n, 18), jnp.float32),
             jax.ShapeDtypeStruct((n, 6), jnp.float32),
             jax.ShapeDtypeStruct((n, 3), jnp.float32),
+            jax.ShapeDtypeStruct((n, 18), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=int(260 * n), bytes_accessed=int(4 * n * (15 + 74)),
@@ -140,7 +148,10 @@ def ba_blocks(
         ),
         interpret=interpret,
     )(Xc_p, R_p, uv_p, w_p, kvec)
-    res, U, V, W, bc, bp = outs
+    res, U, V, W, bc, bp, J = outs
+    # unpack raw Jacobians: Jc (O,2,6) rows [Ju; Jv], Jp (O,2,3) [Pu; Pv]
+    Jc = jnp.stack([J[:O, 0:6], J[:O, 6:12]], axis=1)
+    Jp = jnp.stack([J[:O, 12:15], J[:O, 15:18]], axis=1)
     return {
         "res": res[:O],
         "U": U[:O].reshape(O, 6, 6),
@@ -148,6 +159,8 @@ def ba_blocks(
         "W": W[:O].reshape(O, 6, 3),
         "bc": bc[:O],
         "bp": bp[:O],
+        "Jc": Jc,
+        "Jp": Jp,
     }
 
 

@@ -30,7 +30,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from tpu3drec.core.se3 import axis_angle_to_matrix
+from tpu3drec.core.se3 import axis_angle_to_matrix, matrix_to_axis_angle
 
 
 class BAProblem(NamedTuple):
@@ -132,7 +132,7 @@ def _solve_spd_blocks(blocks, rhs):
     return jnp.linalg.solve(blocks, rhs[..., None])[..., 0]
 
 
-@partial(jax.jit, static_argnames=("max_lm_iters", "cg_iters"))
+@partial(jax.jit, static_argnames=("max_lm_iters", "cg_iters", "use_pallas_blocks"))
 def ba_solve(
     p: BAProblem,
     max_lm_iters: int = 20,
@@ -140,9 +140,17 @@ def ba_solve(
     huber_px: float = 2.0,
     init_lambda: float = 1e-3,
     fix_cam_mask: jnp.ndarray | None = None,
+    use_pallas_blocks: bool = False,
 ) -> BAResult:
     """Run LM. `fix_cam_mask` (F,) 1.0 = free, 0.0 = frozen (default:
-    camera 0 frozen for gauge)."""
+    camera 0 frozen for gauge).
+
+    ``use_pallas_blocks=True`` swaps the jacfwd Jacobians for the fused
+    Pallas assembly kernel (`ops/ba_blocks.py`, closed-form local-se(3)
+    parameterization); the LM update is then applied on the manifold
+    (R <- exp(w) R). Depth-prior rows are not supported on this path."""
+    if use_pallas_blocks and p.depth is not None:
+        raise ValueError("use_pallas_blocks does not support depth priors")
     F = p.cam_params.shape[0]
     L = p.points.shape[0]
     if fix_cam_mask is None:
@@ -172,17 +180,29 @@ def ba_solve(
     def lm_step(carry, _):
         cam_params, points, lam, cost, done = carry
         prob = p._replace(cam_params=cam_params, points=points)
-        r = residuals(prob)  # (O,2)
+        r = residuals(prob)  # (O,2) or (O,3) with depth rows
         w = p.weight * huber_weights(r, huber_px)  # (O,)
-        Jc, Jp = _obs_jacobians(prob)  # (O,2,6), (O,2,3)
+        if use_pallas_blocks:
+            from tpu3drec.ops.ba_blocks import ba_blocks
+
+            Rmat = axis_angle_to_matrix(cam_params[:, :3])[p.cam_idx]
+            Xc = (
+                jnp.einsum("oij,oj->oi", Rmat, points[p.pt_idx],
+                           precision="highest")
+                + cam_params[p.cam_idx, 3:]
+            )
+            blocks = ba_blocks(Xc, Rmat, p.uv, w, p.K)
+            Jc, Jp = blocks["Jc"], blocks["Jp"]
+        else:
+            Jc, Jp = _obs_jacobians(prob)  # (O,i,6), (O,i,3)
 
         wJc = Jc * w[:, None, None]
         wJp = Jp * w[:, None, None]
         # normal-equation blocks
-        U = _seg_sum(jnp.einsum("oia,oib->oab", wJc, Jc), p.cam_idx, F)  # (F,6,6)
-        V = _seg_sum(jnp.einsum("oia,oib->oab", wJp, Jp), p.pt_idx, L)   # (L,3,3)
-        b_c = -_seg_sum(jnp.einsum("oia,oi->oa", wJc, r), p.cam_idx, F)  # (F,6)
-        b_p = -_seg_sum(jnp.einsum("oia,oi->oa", wJp, r), p.pt_idx, L)   # (L,3)
+        U = _seg_sum(jnp.einsum("oia,oib->oab", wJc, Jc, precision="highest"), p.cam_idx, F)  # (F,6,6)
+        V = _seg_sum(jnp.einsum("oia,oib->oab", wJp, Jp, precision="highest"), p.pt_idx, L)   # (L,3,3)
+        b_c = -_seg_sum(jnp.einsum("oia,oi->oa", wJc, r, precision="highest"), p.cam_idx, F)  # (F,6)
+        b_p = -_seg_sum(jnp.einsum("oia,oi->oa", wJp, r, precision="highest"), p.pt_idx, L)   # (L,3)
 
         # additive damping (Levenberg): U + lam I, V + lam I
         U_l = U + lam * jnp.eye(6)[None]
@@ -190,8 +210,8 @@ def ba_solve(
         V_inv = jnp.linalg.inv(V_l + 1e-12 * jnp.eye(3)[None])
 
         # reduced RHS: b~ = b_c - W V^-1 b_p, assembled per observation
-        y = jnp.einsum("lab,lb->la", V_inv, b_p)  # (L,3)
-        Wy = jnp.einsum("oia,oib,ob->oa", wJc, Jp, y[p.pt_idx])  # (O,6)
+        y = jnp.einsum("lab,lb->la", V_inv, b_p, precision="highest")  # (L,3)
+        Wy = jnp.einsum("oia,oib,ob->oa", wJc, Jp, y[p.pt_idx], precision="highest")  # (O,6)
         b_tilde = b_c - _seg_sum(Wy, p.cam_idx, F)  # (F,6)
         b_tilde = b_tilde * cam_free
 
@@ -200,13 +220,13 @@ def ba_solve(
 
         def S_matvec(v):  # v (F,6)
             v = v * cam_free
-            Uv = jnp.einsum("fab,fb->fa", U_l, v)
+            Uv = jnp.einsum("fab,fb->fa", U_l, v, precision="highest")
             # W^T v per landmark: sum over obs of Jp^T w Jc v_cam
-            JcV = jnp.einsum("oib,ob->oi", Jc, v[p.cam_idx])        # (O,2)
-            WtV = _seg_sum(jnp.einsum("oia,oi->oa", wJp, JcV), p.pt_idx, L)  # (L,3)
-            z = jnp.einsum("lab,lb->la", V_inv, WtV)                # (L,3)
-            Jpz = jnp.einsum("oib,ob->oi", Jp, z[p.pt_idx])         # (O,2)
-            WVWt = _seg_sum(jnp.einsum("oia,oi->oa", wJc, Jpz), p.cam_idx, F)
+            JcV = jnp.einsum("oib,ob->oi", Jc, v[p.cam_idx], precision="highest")        # (O,2)
+            WtV = _seg_sum(jnp.einsum("oia,oi->oa", wJp, JcV, precision="highest"), p.pt_idx, L)  # (L,3)
+            z = jnp.einsum("lab,lb->la", V_inv, WtV, precision="highest")                # (L,3)
+            Jpz = jnp.einsum("oib,ob->oi", Jp, z[p.pt_idx], precision="highest")         # (O,2)
+            WVWt = _seg_sum(jnp.einsum("oia,oi->oa", wJc, Jpz, precision="highest"), p.cam_idx, F)
             return (Uv - WVWt) * cam_free
 
         def M_inv(v):
@@ -235,11 +255,27 @@ def ba_solve(
         )
 
         # back-substitute landmarks: dp = V^-1 (b_p - W^T dc)
-        Jcdc = jnp.einsum("oib,ob->oi", Jc, dc[p.cam_idx])  # (O,2)
-        Wtdc = _seg_sum(jnp.einsum("oia,oi->oa", wJp, Jcdc), p.pt_idx, L)
-        dp = jnp.einsum("lab,lb->la", V_inv, b_p - Wtdc)
+        Jcdc = jnp.einsum("oib,ob->oi", Jc, dc[p.cam_idx], precision="highest")  # (O,2)
+        Wtdc = _seg_sum(jnp.einsum("oia,oi->oa", wJp, Jcdc, precision="highest"), p.pt_idx, L)
+        dp = jnp.einsum("lab,lb->la", V_inv, b_p - Wtdc, precision="highest")
 
-        new_cams = cam_params + (dc * cam_free).reshape(F, 6)
+        if use_pallas_blocks:
+            # manifold update: R <- exp(w) R, t <- exp(w) t + nu
+            dcm = dc * cam_free
+            dR = axis_angle_to_matrix(dcm[:, :3])
+            R_new = jnp.einsum("fij,fjk->fik", dR,
+                               axis_angle_to_matrix(cam_params[:, :3]),
+                               precision="highest")
+            new_cams = jnp.concatenate(
+                [
+                    matrix_to_axis_angle(R_new),
+                    jnp.einsum("fij,fj->fi", dR, cam_params[:, 3:],
+                               precision="highest") + dcm[:, 3:],
+                ],
+                axis=1,
+            )
+        else:
+            new_cams = cam_params + (dc * cam_free).reshape(F, 6)
         new_points = points + dp
         new_cost = cost_of(new_cams, new_points)
         accept = new_cost < cost
