@@ -136,3 +136,36 @@ class TestCLI:
               "--T", str(tmp_path / "T.txt"), "--out", str(tmp_path / "m.ply")])
         merged, _ = read_ply(str(tmp_path / "m.ply"))
         assert merged.shape[0] == 50
+
+
+class TestTrainMonoCLI:
+    @pytest.mark.slow
+    def test_train_mono_from_disk(self, tmp_path, rng):
+        """CLI train-mono on an InteriorNet-layout dataset (config 4 from
+        disk, the reference's Trainer.train() entry)."""
+        from PIL import Image
+
+        from tpu3drec.data.datasets import write_split_files
+        from tpu3drec.pipelines.cli import main
+
+        scene = tmp_path / "scene1"
+        os.makedirs(scene / "jpg")
+        os.makedirs(scene / "depth")
+        for i in range(6):
+            img = (rng.uniform(size=(32, 64, 3)) * 255).astype(np.uint8)
+            Image.fromarray(img).save(scene / "jpg" / f"{i}.jpg")
+        with open(scene / "cam0.ccam", "w") as f:
+            f.write("# header\n")
+            for i in range(6):
+                f.write(" ".join(map(str, [0] * 6 + [1, 0, 0, 0, 0.1 * i, 0, 0, 0, 0])) + "\n")
+        write_split_files(str(tmp_path / "splits"), "scene1", range(1, 5),
+                          train_frac=1.0)
+        main([
+            "train-mono", "--data-path", str(tmp_path),
+            "--split-train", str(tmp_path / "splits" / "train_files.txt"),
+            "--height", "32", "--width", "64", "--batch-size", "2",
+            "--epochs", "1", "--use-gt-pose",
+            "--log-dir", str(tmp_path / "run"),
+        ])
+        assert os.path.exists(tmp_path / "run" / "train.jsonl")
+        assert os.path.exists(tmp_path / "run" / "ckpt")
