@@ -29,6 +29,9 @@ class KittiRunConfig:
     max_keypoints: int = 512
     overlap_matches: int = 3  # sequential matching overlap inside a window
     pose_graph: bool = True   # GN pose-graph refinement over window edges
+    loop_closure: bool = True # detect + verify revisits, add closure edges
+    lc_min_gap: int = 10      # min frame separation for a closure candidate
+    lc_sim: float = 0.85      # global-descriptor similarity gate
     seed: int = 0
     verbose: bool = False
 
@@ -84,11 +87,22 @@ def run_windowed_sfm(
     widx = 0
     while start < F - 1:
         end = min(start + cfg.window, F)
-        rec = run_sfm(
-            images[start:end], K,
-            max_keypoints=cfg.max_keypoints, overlap=cfg.overlap_matches,
-            seed=cfg.seed + widx, verbose=cfg.verbose,
-        )
+        try:
+            rec = run_sfm(
+                images[start:end], K,
+                max_keypoints=cfg.max_keypoints, overlap=cfg.overlap_matches,
+                seed=cfg.seed + widx, verbose=cfg.verbose,
+            )
+        except ValueError as e:
+            # a window that cannot initialize must not kill the sequence —
+            # later windows overlap it and cover its frames
+            if cfg.verbose:
+                print(f"[kitti] window at {start} failed: {e}")
+            if end >= F:
+                break
+            start += cfg.stride
+            widx += 1
+            continue
         recs.append(rec)
         local = _poses_to_T(rec, rec.registered_frames())
         local = {start + f: T for f, T in local.items()}
@@ -128,9 +142,48 @@ def run_windowed_sfm(
         widx += 1
 
     Ts = [global_T.get(f) for f in range(F)]
+    if cfg.loop_closure:
+        window_edges += _closure_edges(images, K, Ts, cfg)
     if cfg.pose_graph:
         Ts = _refine_with_pose_graph(Ts, window_edges)
     return Ts, recs
+
+
+def _closure_edges(images, K, Ts, cfg):
+    """Detect loop closures over the whole sequence and convert them to
+    pose-graph edges (SURVEY C3: COLMAP's vocab-tree loop detection).
+
+    Closure rotation + bearing come from the verified two-view geometry; the
+    monocular translation magnitude is taken from the current stitched
+    estimate (bearing/rotation drift is what closures correct)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu3drec.sfm.features import detect_and_describe
+    from tpu3drec.sfm.loopclosure import detect_loop_closures
+
+    detect = jax.jit(jax.vmap(
+        lambda im: detect_and_describe(im, max_keypoints=cfg.max_keypoints,
+                                       upright=True)
+    ))
+    kps, descs = detect(jnp.asarray(images, dtype=jnp.float32))
+    closures = detect_loop_closures(
+        descs, kps.valid, np.asarray(kps.xy), K,
+        min_gap=cfg.lc_min_gap, sim_threshold=cfg.lc_sim, seed=cfg.seed,
+    )
+    edges = []
+    for c in closures:
+        if Ts[c.i] is None or Ts[c.j] is None:
+            continue
+        dist = float(np.linalg.norm(Ts[c.j][:3, 3] - Ts[c.i][:3, 3]))
+        T_rel = np.eye(4)
+        T_rel[:3, :3] = c.R_rel.T
+        T_rel[:3, 3] = -c.R_rel.T @ (c.t_dir * dist)
+        edges.append((c.i, c.j, T_rel, 1.0))
+        if cfg.verbose:
+            print(f"[kitti] loop closure {c.i}<->{c.j} "
+                  f"({c.n_inliers} inliers, dist {dist:.2f})")
+    return edges
 
 
 def _refine_with_pose_graph(Ts, window_edges):
