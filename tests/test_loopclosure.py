@@ -75,9 +75,8 @@ def test_windowed_sfm_closure_detection_no_false_positives():
 
     (The capability split: revisit *detection* + geometric verification is
     tested above on a real loop; closure-driven *graph correction* is
-    tested in tests/test_posegraph.py's square-loop drift test. Full
-    re-localization of unstitchable segments via closures is future work —
-    see ROUND_NOTES.md.)"""
+    tested in tests/test_posegraph.py's square-loop drift test;
+    re-localization of unstitchable segments is tested below.)"""
     from tpu3drec.pipelines.kitti import (
         KittiRunConfig, evaluate_sequence, run_windowed_sfm,
     )
@@ -107,3 +106,38 @@ def test_windowed_sfm_closure_detection_no_false_positives():
     m = evaluate_sequence(Ts, gt_T)
     assert m["coverage"] > 0.9
     assert m["ate_rms"] < 0.05 * m["traj_len"], m
+
+
+@pytest.mark.slow
+def test_relocalization_of_unstitchable_revisit():
+    """A revisit segment the sequential stitcher cannot reach (viewpoint
+    jump breaks sequential matching) must be anchored via its loop closure."""
+    from tpu3drec.pipelines.kitti import KittiRunConfig, run_windowed_sfm
+
+    rng = np.random.default_rng(11)
+    scene = SimScene.clustered(rng, n_landmarks=420, sats=4,
+                               extent=((-25, -6, 8), (40, 6, 60)))
+    cam = CameraConfig(fx=220.0, fy=220.0, cx=128.0, cy=96.0,
+                       width=256, height=192)
+    sim = CaptureSim(scene, cam=cam)
+    fwd = sim.fly(12, step=np.array([0.55, 0.0, 0.35]), yaw_rate=0.01)
+    frames = [render_frame(scene, R, t, cam) for R, t in fwd]
+    images = np.stack([f[0].mean(-1).astype(np.float32) / 255.0 for f in frames])
+    # frames 12, 13 revisit the viewpoints of frames 0, 1 (teleport jump:
+    # sequential matching 11 -> 12 cannot bridge it)
+    images = np.concatenate([images, images[:2]], axis=0)
+    K = np.array([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]],
+                 np.float32)
+
+    cfg = KittiRunConfig(window=8, stride=4, max_keypoints=256,
+                         loop_closure=True, lc_min_gap=10, lc_sim=0.8,
+                         verbose=True)
+    Ts, recs = run_windowed_sfm(images, K, cfg)
+    # the revisit frames must be localized...
+    assert Ts[12] is not None or Ts[13] is not None, "relocalization failed"
+    for f, src in ((12, 0), (13, 1)):
+        if Ts[f] is None or Ts[src] is None:
+            continue
+        # ... and placed at their revisit partner (zero-translation anchor)
+        d = np.linalg.norm(Ts[f][:3, 3] - Ts[src][:3, 3])
+        assert d < 0.5, (f, src, d)

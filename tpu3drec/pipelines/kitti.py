@@ -143,10 +143,38 @@ def run_windowed_sfm(
 
     Ts = [global_T.get(f) for f in range(F)]
     if cfg.loop_closure:
-        window_edges += _closure_edges(images, K, Ts, cfg)
+        closure_edges, closures = _closure_edges(images, K, Ts, cfg)
+        Ts = _relocalize(Ts, closures, cfg)
+        window_edges += closure_edges
     if cfg.pose_graph:
         Ts = _refine_with_pose_graph(Ts, window_edges)
     return Ts, recs
+
+
+def _relocalize(Ts, closures, cfg):
+    """Anchor frames the sequential stitcher could not place using verified
+    closures to localized frames (re-localization): the unlocalized frame is
+    placed at the localized partner's center with the measured relative
+    rotation (a revisit's translation magnitude is unobservable in
+    monocular; for true revisits it is near zero)."""
+    out = list(Ts)
+    for c in closures:
+        a, b = c.i, c.j
+        # T maps cam_b coords -> cam_a coords (see _closure_edges)
+        Rba = c.R_rel.T
+        if out[a] is not None and out[b] is None:
+            T = np.eye(4)
+            T[:3, :3] = Rba
+            out[b] = out[a] @ T
+            if cfg.verbose:
+                print(f"[kitti] relocalized frame {b} via closure to {a}")
+        elif out[b] is not None and out[a] is None:
+            T = np.eye(4)
+            T[:3, :3] = Rba.T
+            out[a] = out[b] @ T
+            if cfg.verbose:
+                print(f"[kitti] relocalized frame {a} via closure to {b}")
+    return out
 
 
 def _closure_edges(images, K, Ts, cfg):
@@ -174,7 +202,7 @@ def _closure_edges(images, K, Ts, cfg):
     edges = []
     for c in closures:
         if Ts[c.i] is None or Ts[c.j] is None:
-            continue
+            continue  # edge needs both localized; relocalization handles rest
         dist = float(np.linalg.norm(Ts[c.j][:3, 3] - Ts[c.i][:3, 3]))
         T_rel = np.eye(4)
         T_rel[:3, :3] = c.R_rel.T
@@ -183,7 +211,7 @@ def _closure_edges(images, K, Ts, cfg):
         if cfg.verbose:
             print(f"[kitti] loop closure {c.i}<->{c.j} "
                   f"({c.n_inliers} inliers, dist {dist:.2f})")
-    return edges
+    return edges, closures
 
 
 def _refine_with_pose_graph(Ts, window_edges):
