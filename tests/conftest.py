@@ -9,6 +9,13 @@ wins, and XLA_FLAGS is read at CPU-client creation time.
 """
 
 import os
+import sys
+
+# fresh containers have no editable install; the repo root on sys.path makes
+# `import tpu3drec` / `import baseline` work regardless
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
