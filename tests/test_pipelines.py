@@ -104,3 +104,32 @@ def test_icp_fusion_matches_reference(tmp_path, rng):
     ref_b = icp_apply_equiv(b.astype(np.float64), T)
     np.testing.assert_allclose(got[:40], a, atol=1e-4)
     np.testing.assert_allclose(got[40:], ref_b, atol=1e-3)
+
+
+def test_rgbd_colored_cloud(tmp_path, rng):
+    """rgb_dir attaches per-pixel colors to the fused PLY (the reference's
+    genply_RGB capability, built with correct arity/imports)."""
+    h, w = 16, 20
+    pose_file, depth_dir, qs, ts = _make_dataset(tmp_path, rng, F=2, h=h, w=w)
+    rgb_dir = tmp_path / "front"
+    os.makedirs(rgb_dir)
+    rgbs = []
+    for f in range(2):
+        arr = (rng.uniform(size=(h, w, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(rgb_dir / f"{f}.png")
+        rgbs.append(arr)
+    cfg = RGBDPipelineConfig(
+        camera=CameraConfig(fx=100.0, fy=100.0, cx=w / 2, cy=h / 2, width=w, height=h),
+        depth=DepthDecodeConfig(mode="gray8"),
+        map=MapConfig(min_depth=0.0),
+        pose_file=str(pose_file),
+        depth_dir=str(depth_dir),
+        rgb_dir=str(rgb_dir),
+        out_ply=str(tmp_path / "colored.ply"),
+    )
+    res = rgbd.run(cfg)
+    pts, colors = read_ply(str(tmp_path / "colored.ply"))
+    assert colors is not None
+    assert colors.shape == (res.n_points, 3)
+    # colors ride in pixel order: first row of frame 0 matches
+    np.testing.assert_array_equal(colors[:w], rgbs[0].reshape(-1, 3)[:w])

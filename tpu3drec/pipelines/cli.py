@@ -39,6 +39,8 @@ def _cmd_rgbd(args):
         cfg.pose_file = args.poses
     if args.depth_dir:
         cfg.depth_dir = args.depth_dir
+    if args.rgb_dir:
+        cfg.rgb_dir = args.rgb_dir
     if args.out_ply:
         cfg.out_ply = args.out_ply
     if args.out_bt:
@@ -174,6 +176,7 @@ def main(argv=None):
     q.add_argument("--config")
     q.add_argument("--poses")
     q.add_argument("--depth-dir", dest="depth_dir")
+    q.add_argument("--rgb-dir", dest="rgb_dir", help="color the cloud from RGB frames")
     q.add_argument("--out-ply", dest="out_ply")
     q.add_argument("--out-bt", dest="out_bt")
     q.set_defaults(fn=_cmd_rgbd)

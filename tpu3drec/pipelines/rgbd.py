@@ -81,8 +81,25 @@ def run(cfg: RGBDPipelineConfig) -> RGBDResult:
         scale=cfg.depth.scale,
         size=(cfg.camera.width, cfg.camera.height),
     )
+    colors = None
+    if cfg.rgb_dir:
+        from tpu3drec.utils.depthio import load_image_rgb
+
+        size = (cfg.camera.width, cfg.camera.height)
+        frames = []
+        for r in records:
+            stem = os.path.splitext(r.image_name)[0]
+            for ext in (".jpg", ".png", os.path.splitext(r.image_name)[1]):
+                path = os.path.join(cfg.rgb_dir, stem + ext)
+                if os.path.exists(path):
+                    frames.append(load_image_rgb(path, size=size))
+                    break
+            else:
+                raise FileNotFoundError(
+                    f"no RGB frame for {r.image_name} in {cfg.rgb_dir}")
+        colors = np.stack(frames)
     q, t = poses_to_arrays(records)
-    result = run_arrays(depths, q, t, cfg)
+    result = run_arrays(depths, q, t, cfg, colors=colors)
     result.seconds = time.time() - t0
     return result
 
@@ -90,6 +107,7 @@ def run(cfg: RGBDPipelineConfig) -> RGBDResult:
 def run_arrays(
     depths: np.ndarray, q_xyzw: np.ndarray, t: np.ndarray, cfg: RGBDPipelineConfig,
     keep_points: bool = False,
+    colors: np.ndarray | None = None,  # (F, H, W, 3) uint8 per-pixel colors
 ) -> RGBDResult:
     """Pipeline on in-memory arrays (the testable core)."""
     t0 = time.time()
@@ -107,10 +125,15 @@ def run_arrays(
     pts_h = np.asarray(pts)
     valid_h = np.asarray(valid)
     cloud = pts_h[valid_h]
+    cloud_rgb = None
+    if colors is not None:
+        cloud_rgb = colors.reshape(-1, 3)[valid_h]
     if cfg.map.max_points and cloud.shape[0] > cfg.map.max_points:
         cloud = cloud[: cfg.map.max_points]
+        if cloud_rgb is not None:
+            cloud_rgb = cloud_rgb[: cfg.map.max_points]
     if cfg.out_ply:
-        write_ply(cfg.out_ply, cloud, binary=cfg.map.ply_binary)
+        write_ply(cfg.out_ply, cloud, colors=cloud_rgb, binary=cfg.map.ply_binary)
 
     return RGBDResult(
         n_frames=int(depths.shape[0]),

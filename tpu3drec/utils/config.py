@@ -112,6 +112,9 @@ class RGBDPipelineConfig:
     mesh: MeshConfig = field(default_factory=MeshConfig)
     pose_file: str = ""
     depth_dir: str = ""
+    rgb_dir: str = ""  # optional: color the cloud from RGB frames
+                       # (the reference's genply_RGB capability,
+                       # `pixel_to_camera.py:92-124`, built correctly)
     out_ply: str = "out/map.ply"
     out_bt: str = ""  # empty = skip octree export
     batch_frames: int = 32  # frames fused per device dispatch
