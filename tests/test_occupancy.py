@@ -96,3 +96,35 @@ class TestOccupancyMap:
         o2, f2, _ = read_bt(p, with_free=True)
         assert {tuple(k) for k in o2} == {(5, 5, 5)}
         assert {tuple(k) for k in f2} == {tuple(k) for k in free}
+
+
+def test_occupancy_cli_end_to_end(tmp_path, rng):
+    """`cli occupancy` on capture-layout inputs: occupied + free leaves in
+    the output .bt."""
+    import json
+
+    from tpu3drec.data.capture_sim import CaptureSim, SimScene
+    from tpu3drec.pipelines.cli import main
+    from tpu3drec.utils.config import CameraConfig
+
+    scene = SimScene.clustered(rng, n_landmarks=120, sats=3)
+    cam = CameraConfig(fx=110.0, fy=110.0, cx=64.0, cy=48.0, width=128, height=96)
+    sim = CaptureSim(scene, cam=cam)
+    sim.capture(str(tmp_path), sim.fly(2, step=np.array([0.5, 0, 0.3])))
+    cfg = {
+        "camera": {"fx": 110.0, "fy": 110.0, "cx": 64.0, "cy": 48.0,
+                   "width": 128, "height": 96},
+        "depth": {"mode": "uint16_mm"},
+        "map": {"min_depth": 0.1},
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    out = str(tmp_path / "occ.bt")
+    main(["occupancy", "--config", str(cfg_path),
+          "--poses", str(tmp_path / "poses.txt"),
+          "--depth-dir", str(tmp_path / "depth"),
+          "--res", "1.0", "--max-range", "55", "--out", out])
+    occ, free, res = read_bt(out, with_free=True)
+    assert res == 1.0
+    assert len(occ) > 50
+    assert len(free) > len(occ)  # carved space dominates

@@ -144,6 +144,50 @@ def _cmd_kitti_eval(args):
     print({k: round(float(v), 4) for k, v in m.items()})
 
 
+def _cmd_occupancy(args):
+    """Full occupancy mapping (occupied + carved free space) from the same
+    depth+poses contract as `rgbd` — the octomap capability the reference
+    never used (its inserts were occupied-only)."""
+    import jax.numpy as jnp
+
+    from tpu3drec.core.quaternion import quat_xyzw_to_matrix
+    from tpu3drec.core.unproject import depth_to_world_points
+    from tpu3drec.core.camera import PinholeCamera
+    from tpu3drec.core.se3 import SE3
+    from tpu3drec.mapping.occupancy import OccupancyMap
+    from tpu3drec.utils.config import RGBDPipelineConfig, from_dict
+    from tpu3drec.utils.depthio import load_depth
+    from tpu3drec.utils.poseio import read_pose_txt
+
+    if args.config:
+        with open(args.config) as f:
+            cfg = from_dict(RGBDPipelineConfig, json.load(f))
+    else:
+        cfg = RGBDPipelineConfig()
+    records = read_pose_txt(args.poses)
+    cam = cfg.camera.to_camera()
+    m = OccupancyMap(res=args.res, max_samples=args.max_samples)
+    for r in records:
+        depth = load_depth(
+            os.path.join(args.depth_dir, r.image_name),
+            mode=cfg.depth.mode, scale=cfg.depth.scale,
+            size=(cfg.camera.width, cfg.camera.height),
+        )
+        Rw2c = np.asarray(quat_xyzw_to_matrix(jnp.asarray(r.q_xyzw, dtype=jnp.float32)))
+        Rc2w = Rw2c.T
+        tc2w = -Rc2w @ np.asarray(r.t, np.float32)
+        pts = np.asarray(depth_to_world_points(
+            jnp.asarray(depth), cam, SE3(jnp.asarray(Rc2w), jnp.asarray(tc2w))
+        )).reshape(-1, 3)
+        valid = (depth.reshape(-1) > cfg.map.min_depth) & (
+            depth.reshape(-1) < args.max_range)
+        m.insert_scan(tc2w, pts, valid)
+        print(f"frame {r.frame_id}: {len(m.keys)} voxels "
+              f"({len(m.occupied_keys())} occ / {len(m.free_keys())} free)")
+    n = m.write_bt(args.out)
+    print(f"wrote {args.out}: {n} nodes")
+
+
 def _cmd_ply2bt(args):
     from tpu3drec.mapping.btio import write_bt
     from tpu3drec.mapping.voxel import dedup_voxels_host
@@ -218,6 +262,16 @@ def main(argv=None):
     q.add_argument("--use-gt-pose", dest="use_gt_pose", action="store_true")
     q.add_argument("--log-dir", dest="log_dir", default="runs/monocular")
     q.set_defaults(fn=_cmd_train_mono)
+
+    q = sub.add_parser("occupancy", help="depth+poses -> log-odds occupancy .bt (with free space)")
+    q.add_argument("--config")
+    q.add_argument("--poses", required=True)
+    q.add_argument("--depth-dir", dest="depth_dir", required=True)
+    q.add_argument("--res", type=float, default=0.1)
+    q.add_argument("--max-range", dest="max_range", type=float, default=50.0)
+    q.add_argument("--max-samples", dest="max_samples", type=int, default=128)
+    q.add_argument("--out", required=True)
+    q.set_defaults(fn=_cmd_occupancy)
 
     q = sub.add_parser("kitti-eval", help="windowed SfM + ATE on a KITTI sequence")
     q.add_argument("root", help="KITTI odometry root (sequences/, poses/)")
