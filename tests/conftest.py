@@ -22,11 +22,14 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu3drec")
-
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache (env vars are too late — jax is pre-imported by
+# the sitecustomize); cuts repeat-suite wall time substantially
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu3drec_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np
 import pytest
