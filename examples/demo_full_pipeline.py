@@ -19,6 +19,12 @@ import numpy as np
 
 def main(out_dir: str = "/tmp/tpu3drec_demo"):
     import jax
+
+    try:  # tunneled-TPU compiles are slow and variable; cache them
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/tpu3drec_xla"))
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from tpu3drec.data.capture_sim import CaptureSim, SimScene, render_frame
