@@ -141,3 +141,41 @@ def test_relocalization_of_unstitchable_revisit():
         # ... and placed at their revisit partner (zero-translation anchor)
         d = np.linalg.norm(Ts[f][:3, 3] - Ts[src][:3, 3])
         assert d < 0.5, (f, src, d)
+
+
+@pytest.mark.slow
+def test_relocalization_unlocks_disconnected_window():
+    """A whole revisit ARC disconnected from the sequential chain: closures
+    anchor two of its frames, which lets the stitcher place the rest of the
+    window through its local geometry."""
+    from tpu3drec.pipelines.kitti import KittiRunConfig, run_windowed_sfm
+
+    rng = np.random.default_rng(11)
+    scene = SimScene.clustered(rng, n_landmarks=420, sats=4,
+                               extent=((-25, -6, 8), (40, 6, 60)))
+    cam = CameraConfig(fx=220.0, fy=220.0, cx=128.0, cy=96.0,
+                       width=256, height=192)
+    sim = CaptureSim(scene, cam=cam)
+    fwd = sim.fly(12, step=np.array([0.55, 0.0, 0.35]), yaw_rate=0.01)
+    frames = [render_frame(scene, R, t, cam) for R, t in fwd]
+    images = np.stack([f[0].mean(-1).astype(np.float32) / 255.0 for f in frames])
+    # frames 12..19 replay frames 0..7: an 8-frame revisit arc with no
+    # sequential connection to the first pass
+    images = np.concatenate([images, images[:8]], axis=0)
+    K = np.array([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]],
+                 np.float32)
+
+    cfg = KittiRunConfig(window=8, stride=4, max_keypoints=256,
+                         loop_closure=True, lc_min_gap=10, lc_sim=0.8,
+                         verbose=True)
+    Ts, recs = run_windowed_sfm(images, K, cfg)
+    placed = [f for f in range(12, 20) if Ts[f] is not None]
+    # without propagation only closure-anchored frames would be placed;
+    # with it the whole arc should localize
+    assert len(placed) >= 6, placed
+    # each replay frame near its first-pass twin
+    for f in placed:
+        if Ts[f - 12] is None:
+            continue
+        d = np.linalg.norm(Ts[f][:3, 3] - Ts[f - 12][:3, 3])
+        assert d < 1.0, (f, d)

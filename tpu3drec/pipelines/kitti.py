@@ -81,6 +81,7 @@ def run_windowed_sfm(
     cfg = cfg or KittiRunConfig()
     F = images.shape[0]
     global_T: dict[int, np.ndarray] = {}
+    pending: list = []       # windows awaiting stitchable shared frames
     window_edges: list = []  # (f1, f2, T_rel_window_scale, stitch_scale)
     recs = []
     start = 0
@@ -107,35 +108,16 @@ def run_windowed_sfm(
         local = _poses_to_T(rec, rec.registered_frames())
         local = {start + f: T for f, T in local.items()}
 
-        stitch_scale = 1.0
-        if not global_T:
-            global_T.update(local)
+        stitched, stitch_scale = _try_stitch(global_T, local, cfg)
+        if not stitched:
+            pending.append(local)
         else:
-            shared = sorted(set(local) & set(global_T))
-            if len(shared) >= 2:
-                s, R, t = _similarity_from_pose_pairs(
-                    [local[f] for f in shared], [global_T[f] for f in shared]
-                )
-                stitch_scale = float(s)
-                S = np.eye(4)
-                S[:3, :3] = s * R
-                S[:3, 3] = t
-                for f, T in local.items():
-                    if f in global_T:
-                        continue
-                    Tg = S @ T
-                    # renormalize the rotation block (similarity scales it)
-                    U, _, Vt = np.linalg.svd(Tg[:3, :3])
-                    Tg[:3, :3] = U @ Vt
-                    global_T[f] = Tg
-            elif cfg.verbose:
-                print(f"[kitti] window at {start}: <2 shared frames, dropped")
-        # odometry edges from this window (consecutive registered frames),
-        # remembered with the stitch scale that maps them into global units
-        loc_frames = sorted(local)
-        for f1, f2 in zip(loc_frames[:-1], loc_frames[1:]):
-            T_rel = np.linalg.inv(local[f1]) @ local[f2]
-            window_edges.append((f1, f2, T_rel, stitch_scale))
+            # odometry edges from this window (consecutive registered
+            # frames), with the stitch scale mapping them to global units
+            loc_frames = sorted(local)
+            for f1, f2 in zip(loc_frames[:-1], loc_frames[1:]):
+                T_rel = np.linalg.inv(local[f1]) @ local[f2]
+                window_edges.append((f1, f2, T_rel, stitch_scale))
         if end >= F:
             break
         start += cfg.stride
@@ -145,10 +127,61 @@ def run_windowed_sfm(
     if cfg.loop_closure:
         closure_edges, closures = _closure_edges(images, K, Ts, cfg)
         Ts = _relocalize(Ts, closures, cfg)
+        # anchored frames can unlock whole pending windows: retry stitching
+        # disconnected segments against the updated global frame (iterate —
+        # each stitched window may unlock the next)
+        for f, T in enumerate(Ts):
+            if T is not None:
+                global_T[f] = T
+        progress = True
+        while progress and pending:
+            progress = False
+            for local in list(pending):
+                stitched, scale = _try_stitch(global_T, local, cfg)
+                if stitched:
+                    pending.remove(local)
+                    progress = True
+                    loc_frames = sorted(local)
+                    for f1, f2 in zip(loc_frames[:-1], loc_frames[1:]):
+                        T_rel = np.linalg.inv(local[f1]) @ local[f2]
+                        window_edges.append((f1, f2, T_rel, scale))
+                    if cfg.verbose:
+                        print(f"[kitti] relocalization unlocked window "
+                              f"{min(local)}..{max(local)}")
+        Ts = [global_T.get(f) for f in range(F)]
         window_edges += closure_edges
     if cfg.pose_graph:
         Ts = _refine_with_pose_graph(Ts, window_edges)
     return Ts, recs
+
+
+def _try_stitch(global_T: dict, local: dict, cfg) -> tuple[bool, float]:
+    """Stitch a window's local poses into the global frame via shared
+    frames. Returns (stitched, scale). The first window defines the frame."""
+    if not global_T:
+        global_T.update(local)
+        return True, 1.0
+    shared = sorted(set(local) & set(global_T))
+    if len(shared) < 2:
+        if cfg.verbose:
+            print(f"[kitti] window {min(local)}..{max(local)}: "
+                  f"<2 shared frames, pending")
+        return False, 1.0
+    s, R, t = _similarity_from_pose_pairs(
+        [local[f] for f in shared], [global_T[f] for f in shared]
+    )
+    S = np.eye(4)
+    S[:3, :3] = s * R
+    S[:3, 3] = t
+    for f, T in local.items():
+        if f in global_T:
+            continue
+        Tg = S @ T
+        # renormalize the rotation block (similarity scales it)
+        U, _, Vt = np.linalg.svd(Tg[:3, :3])
+        Tg[:3, :3] = U @ Vt
+        global_T[f] = Tg
+    return True, float(s)
 
 
 def _relocalize(Ts, closures, cfg):
