@@ -74,3 +74,39 @@ class TestKittiLayout:
         assert imgs.max() <= 1.0
         gt = ds.gt_poses()
         np.testing.assert_allclose(gt, Ts, atol=1e-8)
+
+
+@pytest.mark.slow
+def test_windowed_sfm_with_depth_priors_is_metric(long_capture):
+    """Depth priors inside each window's BA make the stitched trajectory
+    metric: length matches GT without any similarity-scale alignment."""
+    from tpu3drec.data.capture_sim import SimScene, CaptureSim, render_frame
+    from tpu3drec.utils.config import CameraConfig
+    from tpu3drec.utils.trajectory_eval import trajectory_length
+
+    images, gt_T, K = long_capture
+    # re-render depths for the same fixture poses
+    rng = np.random.default_rng(11)
+    scene = SimScene.clustered(rng, n_landmarks=420, sats=4,
+                               extent=((-25, -6, 8), (40, 6, 60)))
+    cam = CameraConfig(fx=220.0, fy=220.0, cx=128.0, cy=96.0, width=256, height=192)
+    sim = CaptureSim(scene, cam=cam)
+    poses = sim.fly(16, step=np.array([0.55, 0.0, 0.35]), yaw_rate=0.01)
+    depths = np.stack([render_frame(scene, R, t, cam)[1] for R, t in poses])
+
+    cfg = KittiRunConfig(window=8, stride=4, max_keypoints=256,
+                         loop_closure=False)
+    Ts, _ = run_windowed_sfm(images, K, cfg, depth_maps=depths)
+    sel = [i for i, T in enumerate(Ts) if T is not None]
+    assert len(sel) >= 14
+    est_c = np.stack([Ts[i][:3, 3] for i in sel])
+    gt_c = gt_T[sel][:, :3, 3]
+    est_len = trajectory_length(est_c)
+    gt_len = trajectory_length(gt_c)
+    # stitched multi-window metric accuracy lands ~10-15% (each window
+    # contributes its own prior-vs-geometry compromise and skipped frames
+    # bend the polyline); the single-window case achieves <10%
+    # (tests/test_northstar_e2e.py::test_depth_prior_sfm_is_metric).
+    # An UNCONSTRAINED monocular trajectory has arbitrary scale, so this is
+    # the meaningful bound.
+    assert abs(est_len - gt_len) / gt_len < 0.2, (est_len, gt_len)

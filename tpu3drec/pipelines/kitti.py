@@ -74,6 +74,10 @@ def run_windowed_sfm(
     images: np.ndarray,   # (F, H, W) grayscale float [0,1]
     K: np.ndarray,
     cfg: KittiRunConfig = None,
+    depth_maps: np.ndarray | None = None,  # (F, H, W) metric depth: windows
+                                           # run with BA depth priors ->
+                                           # metric trajectory, unit stitch
+                                           # scales, metric closures
 ):
     """Reconstruct a long sequence window-by-window, stitched into one
     trajectory. Returns (Ts (F, 4, 4) cam->world | None per missing frame,
@@ -93,6 +97,7 @@ def run_windowed_sfm(
                 images[start:end], K,
                 max_keypoints=cfg.max_keypoints, overlap=cfg.overlap_matches,
                 seed=cfg.seed + widx, verbose=cfg.verbose,
+                depth_maps=None if depth_maps is None else depth_maps[start:end],
             )
         except ValueError as e:
             # a window that cannot initialize must not kill the sequence —

@@ -167,12 +167,17 @@ def ba_solve(
     def cost_of(cam_params, points):
         r = residuals(p._replace(cam_params=cam_params, points=points))
         n = jnp.linalg.norm(r[..., :2], axis=-1)
-        # Huber on the pixel part; quadratic on the depth-prior row
+        # Huber on the pixel part AND on the depth-prior row (depth lookups
+        # at occlusion boundaries are gross outliers; quadratic penalties
+        # let a single bad lookup bend the whole window)
         c = jnp.where(
             n <= huber_px, 0.5 * n ** 2, huber_px * (n - 0.5 * huber_px)
         )
         if r.shape[-1] > 2:
-            c = c + 0.5 * r[..., 2] ** 2
+            a = jnp.abs(r[..., 2])
+            c = c + jnp.where(
+                a <= huber_px, 0.5 * a ** 2, huber_px * (a - 0.5 * huber_px)
+            )
         return jnp.sum(c * p.weight)
 
     init_cost = cost_of(p.cam_params, p.points)
@@ -182,6 +187,15 @@ def ba_solve(
         prob = p._replace(cam_params=cam_params, points=points)
         r = residuals(prob)  # (O,2) or (O,3) with depth rows
         w = p.weight * huber_weights(r, huber_px)  # (O,)
+        if r.shape[-1] > 2:
+            # row-wise robustness for the depth prior: scale the depth row
+            # of the residual (IRLS sqrt-weight); the matching Jacobian row
+            # is scaled after it is computed below
+            a = jnp.abs(r[..., 2])
+            s_d = jnp.sqrt(
+                jnp.where(a <= huber_px, 1.0, huber_px / jnp.maximum(a, 1e-12))
+            )
+            r = r.at[:, 2].multiply(s_d)
         if use_pallas_blocks:
             from tpu3drec.ops.ba_blocks import ba_blocks
 
@@ -195,6 +209,9 @@ def ba_solve(
             Jc, Jp = blocks["Jc"], blocks["Jp"]
         else:
             Jc, Jp = _obs_jacobians(prob)  # (O,i,6), (O,i,3)
+        if Jc.shape[1] > 2:
+            Jc = Jc.at[:, 2, :].multiply(s_d[:, None])
+            Jp = Jp.at[:, 2, :].multiply(s_d[:, None])
 
         wJc = Jc * w[:, None, None]
         wJp = Jp * w[:, None, None]

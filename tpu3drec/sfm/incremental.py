@@ -178,7 +178,37 @@ def run_sfm(
     rec.scale_anchor = k
 
     _triangulate_new(rec, tracks, xy, min_track_len)
-    _run_ba(rec, tracks, xy, depth_maps, depth_weight)  # polish the seed before growing (COLMAP-style)
+    if depth_maps is not None:
+        # the two-view seed has unit baseline but the depth priors are
+        # metric (often 10-100x off): pre-scale the seed so the first BA
+        # starts inside the priors' basin instead of needing a 30x jump
+        ratios = []
+        for f in (0, k):
+            R, t = rec.poses[f]
+            dm = depth_maps[f]
+            Hd, Wd = dm.shape
+            for tid, X in rec.points.items():
+                if f not in tracks.get(tid, {}):
+                    continue
+                Xc = R @ X + t
+                if Xc[2] <= 1e-6:
+                    continue
+                u = int(round(Xc[0] / Xc[2] * rec.K[0, 0] + rec.K[0, 2]))
+                v = int(round(Xc[1] / Xc[2] * rec.K[1, 1] + rec.K[1, 2]))
+                if 0 <= u < Wd and 0 <= v < Hd and dm[v, u] > 1e-3:
+                    ratios.append(dm[v, u] / Xc[2])
+        if len(ratios) >= 5:
+            s0 = float(np.median(ratios))
+            for f, (R, t) in rec.poses.items():
+                rec.poses[f] = (R, t * s0)
+            for tid in rec.points:
+                rec.points[tid] = rec.points[tid] * s0
+    # polish the seed before growing (COLMAP-style). The seed BA runs
+    # WITHOUT depth priors: a narrow two-view seed (20-ish landmarks) under
+    # strong priors can collapse (measured: frame-0 windows registered only
+    # 2 frames); the pre-scale above already puts the seed in the metric
+    # basin and later BAs (better conditioned) apply the priors
+    _run_ba(rec, tracks, xy, None, depth_weight)
     if verbose:
         print(f"[sfm] init pair (0, {k}): {len(rec.points)} landmarks")
 
