@@ -181,6 +181,10 @@ int tpu3drec_ply_write_ascii(const char* path, const float* pts, int64_t n,
                              const uint8_t* rgb /* nullable */) {
   FILE* f = std::fopen(path, "wb");
   if (!f) return -1;
+  // setvbuf must precede any other operation on the stream (C standard);
+  // calling it after the first fprintf is UB even if glibc tolerates it.
+  std::vector<char> buf(1 << 20);
+  std::setvbuf(f, buf.data(), _IOFBF, buf.size());
   std::fprintf(f,
                "ply\nformat ascii 1.0\ncomment generated by tpu3drec\n"
                "element vertex %lld\n"
@@ -191,8 +195,6 @@ int tpu3drec_ply_write_ascii(const char* path, const float* pts, int64_t n,
                  "property uchar red\nproperty uchar green\nproperty uchar "
                  "blue\n");
   std::fprintf(f, "end_header\n");
-  std::vector<char> buf(1 << 20);
-  std::setvbuf(f, buf.data(), _IOFBF, buf.size());
   for (int64_t i = 0; i < n; ++i) {
     if (rgb)
       std::fprintf(f, "%.4f %.4f %.4f %d %d %d\n", pts[3 * i], pts[3 * i + 1],

@@ -9,7 +9,9 @@ from tpu3drec.sfm.icp import (
     nearest_neighbors,
     umeyama,
     icp,
+    icp_point_to_plane,
     icp_scale_correction,
+    estimate_normals,
 )
 
 
@@ -81,6 +83,33 @@ def test_icp_partial_overlap_trimming(rng):
     res = icp(jnp.asarray(src), jnp.asarray(dst_full), iters=30,
               with_scale=False, inlier_quantile=0.8, block=128)
     np.testing.assert_allclose(np.asarray(res.T), T_true, atol=5e-2)
+
+
+def test_estimate_normals_plane(rng):
+    # points on z=0 plane -> normals all +/- e_z
+    pts = np.concatenate(
+        [rng.uniform(0, 2, size=(200, 2)), np.zeros((200, 1))], axis=1
+    ).astype(np.float32)
+    nrm = np.asarray(estimate_normals(jnp.asarray(pts), k=8, block=64))
+    assert np.abs(np.abs(nrm[:, 2]) - 1.0).max() < 1e-3
+    assert np.abs(nrm[:, :2]).max() < 1e-3
+
+
+def test_icp_point_to_plane_recovers_rigid(rng):
+    # three mutually-orthogonal planes: fixes all 6 dof (a two-plane wedge
+    # leaves sliding along the edge free under point-to-plane)
+    a = np.concatenate([rng.uniform(0, 2, size=(200, 2)), np.zeros((200, 1))], 1)
+    b = np.concatenate([rng.uniform(0, 2, size=(200, 1)), np.zeros((200, 1)),
+                        rng.uniform(0, 1, size=(200, 1))], 1)
+    c = np.concatenate([np.zeros((200, 1)), rng.uniform(0, 2, size=(200, 1)),
+                        rng.uniform(0, 1, size=(200, 1))], 1)
+    g = np.concatenate([a, b, c]).astype(np.float32)
+    T_true = _random_rigid(rng, scale=1.0)
+    dst = (g @ T_true[:3, :3].T + T_true[:3, 3]).astype(np.float32)
+    res = icp_point_to_plane(jnp.asarray(g), jnp.asarray(dst), iters=20, block=128)
+    np.testing.assert_allclose(np.asarray(res.T), T_true, atol=5e-2)
+    assert float(res.rmse) < 1e-2
+    assert float(res.scale) == 1.0
 
 
 def test_icp_scale_correction_contract(rng, tmp_path):

@@ -128,14 +128,19 @@ def _cmd_kitti_eval(args):
     ds = KittiOdometryDataset(args.root, args.sequence)
     n = args.frames or ds.num_frames()
     print(f"loading {n} frames of sequence {args.sequence} ...")
+    if args.width and not args.height:
+        # default --height from the native aspect ratio so a lone --width
+        # neither resizes to (width, 0) nor distorts the image
+        h0, w0 = ds.load_gray(args.start).shape[:2]
+        args.height = max(1, round(h0 * args.width / w0))
     images = ds.load_sequence(start=args.start, count=n,
                               size=(args.width, args.height) if args.width else None)
     K = ds.calib()
     if args.width:
-        sx = args.width / ds.load_gray(args.start).shape[1]
+        h0, w0 = ds.load_gray(args.start).shape[:2]
         K = K.copy()
-        K[0] *= sx
-        K[1] *= sx
+        K[0] *= args.width / w0   # fx, cx scale with width
+        K[1] *= args.height / h0  # fy, cy scale with height
     cfg = KittiRunConfig(window=args.window, stride=args.stride,
                          max_keypoints=args.max_keypoints, verbose=True)
     Ts, recs = run_windowed_sfm(images, K, cfg)

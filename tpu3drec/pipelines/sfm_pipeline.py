@@ -66,7 +66,10 @@ def metric_scale_from_depth(
     ratios = []
     for f in use_frames:
         R, t = rec.poses[f]
-        dm = depth_maps[frames.index(f)]
+        # depth_maps is indexed by absolute frame id (run_sfm's contract, as
+        # in incremental.py) — NOT by position among registered frames, which
+        # silently mismatches once any frame fails to register.
+        dm = depth_maps[f]
         H, W = dm.shape
         for tid, X in rec.points.items():
             if f not in rec.tracks.get(tid, {}):

@@ -28,7 +28,10 @@ def pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     (the MXU does the heavy lifting; elementwise terms fuse around it)."""
     a2 = jnp.sum(a * a, axis=-1, keepdims=True)
     b2 = jnp.sum(b * b, axis=-1, keepdims=True).T
-    ab = a @ b.T
+    # HIGHEST precision: this output feeds argmin (NN selection) and on TPU
+    # the default bf16 matmul passes measurably flip NN results
+    # (docs/design.md §6.2) — pinned here like the Pallas kernels.
+    ab = jnp.dot(a, b.T, precision="highest")
     return jnp.maximum(a2 + b2 - 2.0 * ab, 0.0)
 
 
@@ -184,6 +187,147 @@ def icp(
         src_p, valid, dst_p, iters=iters, with_scale=with_scale,
         inlier_quantile=inlier_quantile, block=block, init_T=init_T,
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-to-plane ICP (open3d's preferred estimation mode — the reference's
+# offline ICP tool, SURVEY.md C6). Converges in far fewer iterations than
+# point-to-point on smooth surfaces because sliding along the tangent plane
+# is free. Rigid-only (scale stays with the Umeyama point-to-point path).
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("k", "block"))
+def estimate_normals(points: jnp.ndarray, valid: jnp.ndarray | None = None,
+                     k: int = 16, block: int = 2048) -> jnp.ndarray:
+    """Per-point unit normals by PCA over the k nearest neighbors
+    (smallest-eigenvector of the local covariance). Static shapes: blocked
+    distance tiles + top_k, eigh on (N, 3, 3) batched — all MXU/VPU work."""
+    n = points.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    far = jnp.where(valid[:, None], points, 1e9)
+    nblocks = -(-n // block)
+    pad = nblocks * block - n
+    ref_p = jnp.pad(far, ((0, pad), (0, 0)), constant_values=1e9)
+    ref_blocks = ref_p.reshape(nblocks, block, 3)
+
+    def body(carry, rb_i):
+        best_d, best_i = carry  # (N, k) running smallest distances (negated)
+        rb, bi = rb_i
+        d = pairwise_sqdist(points, rb)  # (N, block)
+        cat_d = jnp.concatenate([best_d, -d], axis=1)
+        cat_i = jnp.concatenate(
+            [best_i, jnp.broadcast_to(jnp.arange(block, dtype=jnp.int32)[None, :] + bi * block, d.shape)],
+            axis=1,
+        )
+        nd, sel = jax.lax.top_k(cat_d, k)  # top_k of negated distance = kNN
+        ni = jnp.take_along_axis(cat_i, sel, axis=1)
+        return (nd, ni), None
+
+    init = (jnp.full((n, k), -jnp.inf), jnp.zeros((n, k), jnp.int32))
+    (_, knn_idx), _ = jax.lax.scan(
+        body, init, (ref_blocks, jnp.arange(nblocks, dtype=jnp.int32))
+    )
+    nbrs = points[knn_idx]                      # (N, k, 3)
+    mu = jnp.mean(nbrs, axis=1, keepdims=True)
+    c = nbrs - mu
+    cov = jnp.einsum("nki,nkj->nij", c, c, precision="highest")
+    # eigh returns ascending eigenvalues: column 0 = normal direction
+    _, vecs = jnp.linalg.eigh(cov)
+    nrm = vecs[:, :, 0]
+    return nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+
+
+def _so3_exp(w: jnp.ndarray) -> jnp.ndarray:
+    """Rodrigues: (3,) axis-angle -> (3,3) rotation (safe at theta -> 0)."""
+    th = jnp.linalg.norm(w)
+    K = jnp.array([[0.0, -w[2], w[1]], [w[2], 0.0, -w[0]], [-w[1], w[0], 0.0]],
+                  dtype=w.dtype)
+    A = jnp.where(th > 1e-8, jnp.sin(th) / jnp.maximum(th, 1e-12), 1.0)
+    B = jnp.where(th > 1e-8, (1.0 - jnp.cos(th)) / jnp.maximum(th * th, 1e-12), 0.5)
+    return jnp.eye(3, dtype=w.dtype) + A * K + B * (K @ K)
+
+
+@partial(jax.jit, static_argnames=("iters", "block"))
+def _icp_plane_core(
+    src: jnp.ndarray, src_valid: jnp.ndarray,
+    dst: jnp.ndarray, dst_normals: jnp.ndarray,
+    iters: int, inlier_quantile: float, block: int,
+    init_T: jnp.ndarray,
+) -> ICPResult:
+    """Point-to-plane rigid ICP: each iteration solves the linearized 6x6
+    normal equations for (omega, t) minimizing sum w ((Rp + t - q) . n)^2
+    with R ~ exp([omega]x) about the current estimate."""
+    wv = src_valid.astype(src.dtype)
+
+    def step(T, _):
+        cur = src @ T[:3, :3].T + T[:3, 3]
+        idx, d2 = nearest_neighbors(cur, dst, block=block)
+        thresh = jnp.nanquantile(jnp.where(src_valid, d2, jnp.nan), inlier_quantile)
+        w = (d2 <= thresh).astype(src.dtype) * wv
+        q = dst[idx]
+        nq = dst_normals[idx]
+        r = jnp.einsum("ni,ni->n", cur - q, nq)          # signed plane dist
+        # J row = [ (p x n)^T , n^T ]  for residual ((Rp+t-q).n)
+        J = jnp.concatenate([jnp.cross(cur, nq), nq], axis=1)  # (N, 6)
+        Jw = J * w[:, None]
+        H = jnp.dot(Jw.T, J, precision="highest")
+        g = Jw.T @ r
+        H = H + 1e-6 * jnp.trace(H) / 6.0 * jnp.eye(6, dtype=src.dtype)
+        x = -jnp.linalg.solve(H, g)
+        dR = _so3_exp(x[:3])
+        dT = jnp.eye(4, dtype=src.dtype)
+        dT = dT.at[:3, :3].set(dR)
+        dT = dT.at[:3, 3].set(x[3:])
+        T_new = dT @ T
+        rmse = jnp.sqrt(jnp.sum(w * r * r) / jnp.maximum(jnp.sum(w), 1.0))
+        return T_new, (rmse, jnp.sum(w))
+
+    T, (rmses, n_in) = jax.lax.scan(step, init_T.astype(src.dtype), None, length=iters)
+    return ICPResult(T=T, scale=jnp.float32(1.0), rmse=rmses[-1],
+                     n_inliers=n_in[-1].astype(jnp.int32))
+
+
+def icp_point_to_plane(
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    dst_normals: jnp.ndarray | None = None,
+    iters: int = 15,
+    inlier_quantile: float = 0.9,
+    block: int = 2048,
+    init_T: jnp.ndarray | None = None,
+    normal_k: int = 16,
+    bucket: int = 256,
+) -> ICPResult:
+    """Rigid point-to-plane ICP src -> dst. Normals are estimated on dst by
+    kNN PCA when not supplied. Same bucketing/padding discipline as `icp`."""
+    src = jnp.asarray(src, dtype=jnp.float32)
+    dst = jnp.asarray(dst, dtype=jnp.float32)
+    n, m = src.shape[0], dst.shape[0]
+    pad_n = (-n) % bucket
+    pad_m = (-m) % bucket
+    src_p = jnp.pad(src, ((0, pad_n), (0, 0)))
+    valid = jnp.arange(n + pad_n) < n
+    if dst_normals is None:
+        dst_normals = estimate_normals(
+            jnp.pad(dst, ((0, pad_m), (0, 0)), constant_values=1e9),
+            valid=jnp.arange(m + pad_m) < m, k=min(normal_k, max(m - 1, 1)),
+            block=block)
+    else:
+        dst_normals = jnp.pad(jnp.asarray(dst_normals, jnp.float32),
+                              ((0, pad_m), (0, 0)))
+    dst_p = jnp.pad(dst, ((0, pad_m), (0, 0)), constant_values=1e9)
+    if init_T is None:
+        # centroid pre-alignment (translation only; rigid => no scale seed)
+        mu_s = jnp.mean(src, axis=0)
+        mu_d = jnp.mean(dst, axis=0)
+        T0 = jnp.eye(4, dtype=jnp.float32).at[:3, 3].set(mu_d - mu_s)
+    else:
+        T0 = jnp.asarray(init_T, jnp.float32)
+    return _icp_plane_core(src_p, valid, dst_p, dst_normals,
+                           iters=iters, inlier_quantile=inlier_quantile,
+                           block=block, init_T=T0)
 
 
 def icp_scale_correction(cloud_a: jnp.ndarray, cloud_b: jnp.ndarray, **kw) -> jnp.ndarray:

@@ -51,7 +51,11 @@ def match_descriptors(
         s1 = top2[:, 0]
         s2 = top2[:, 1]
     else:
-        scores = jnp.dot(desc_a, desc_b.T, preferred_element_type=jnp.float32)
+        # precision="highest": preferred_element_type only sets accumulation
+        # dtype; without HIGHEST the bf16 input passes flip top-k/argmax
+        # match results on TPU (docs/design.md §6.2).
+        scores = jnp.dot(desc_a, desc_b.T, precision="highest",
+                         preferred_element_type=jnp.float32)
         scores = jnp.where(valid_b[None, :], scores, -jnp.inf)
         top2, top2_idx = jax.lax.top_k(scores, 2)
         best_b = top2_idx[:, 0]
