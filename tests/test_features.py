@@ -91,6 +91,101 @@ class TestDescribe:
         assert frac_ok > 0.8
 
 
+class TestPyramid:
+    def test_detects_two_octave_scales(self, rng):
+        """Small (sigma 2) AND large (sigma 8) blobs must both be found —
+        a sigma-8 blob is invisible to the single-octave stack (DoG range
+        1.6-3.2) and only appears octaves up (VERDICT r1 item 2)."""
+        from tpu3drec.sfm.features import detect_and_describe_pyramid
+
+        h, w = 192, 256
+        img = np.zeros((h, w), np.float32)
+        yy, xx = np.mgrid[0:h, 0:w]
+        small = [(40, 40), (200, 40), (120, 150)]
+        large = [(60, 120), (190, 150)]
+        for (x, y) in small:
+            img += np.exp(-((xx - x) ** 2 + (yy - y) ** 2) / (2 * 2.0 ** 2))
+        for (x, y) in large:
+            img += 0.8 * np.exp(-((xx - x) ** 2 + (yy - y) ** 2) / (2 * 8.0 ** 2))
+        img = np.clip(img, 0, 1)
+        kps, _ = detect_and_describe_pyramid(jnp.asarray(img), max_keypoints=64,
+                                             num_octaves=3)
+        xy = np.asarray(kps.xy)[np.asarray(kps.valid)]
+        sc = np.asarray(kps.scale)[np.asarray(kps.valid)]
+        for (x, y) in small:
+            d = np.linalg.norm(xy - [x, y], axis=1)
+            assert d.min() < 2.5, f"small blob at {(x, y)} missed"
+            assert sc[d.argmin()] < 4.0
+        for (x, y) in large:
+            d = np.linalg.norm(xy - [x, y], axis=1)
+            assert d.min() < 4.0, f"large blob at {(x, y)} missed"
+            assert sc[d.argmin()] > 4.0, "large blob not detected octaves up"
+
+    def test_match_across_2x_scale_change(self, rng):
+        """Same scene at 2x zoom: pyramid descriptors must still match
+        (scale covariance across octaves). Textured scene — symmetric
+        blobs would give identical descriptors and die in the ratio test."""
+        from scipy.ndimage import gaussian_filter
+        from tpu3drec.sfm.features import detect_and_describe_pyramid
+
+        h, w = 128, 160
+        img_a = gaussian_filter(rng.normal(size=(h, w)), 2.0)
+        img_a = ((img_a - img_a.min()) / np.ptp(img_a)).astype(np.float32)
+        # 2x zoom-in on the central crop (nearest-free: bilinear via repeat+avg)
+        from PIL import Image
+        crop = img_a[h // 4: 3 * h // 4, w // 4: 3 * w // 4]
+        img_b = np.asarray(
+            Image.fromarray((crop * 255).astype(np.uint8)).resize(
+                (w, h), Image.BILINEAR), np.float32) / 255.0
+        ka, da = detect_and_describe_pyramid(jnp.asarray(img_a), max_keypoints=128)
+        kb, db = detect_and_describe_pyramid(jnp.asarray(img_b), max_keypoints=128)
+        m = match_descriptors(da, db, ka.valid, kb.valid)
+        v = np.asarray(m.valid)
+        ia, ib = np.asarray(m.idx_a)[v], np.asarray(m.idx_b)[v]
+        # verify matched pairs obey the known similarity: b = (a - c0) * 2
+        xa = np.asarray(ka.xy)[ia]
+        xb = np.asarray(kb.xy)[ib]
+        pred = (xa - [w // 4, h // 4]) * 2.0
+        in_crop = ((xa[:, 0] > w // 4) & (xa[:, 0] < 3 * w // 4 - 1)
+                   & (xa[:, 1] > h // 4) & (xa[:, 1] < 3 * h // 4 - 1))
+        err = np.linalg.norm(pred - xb, axis=1)
+        good = (err[in_crop] < 4.0)
+        assert in_crop.sum() >= 3, f"only {in_crop.sum()} in-crop matches"
+        assert good.mean() > 0.6, f"scale-change match accuracy {good.mean()}"
+
+    def test_match_under_inplane_rotation(self, rng):
+        """Oriented descriptors must survive a 30-degree in-plane rotation
+        (the wide-baseline failure mode: upright-only descriptors die here)."""
+        from scipy.ndimage import gaussian_filter, rotate as ndrotate
+        from tpu3drec.sfm.features import detect_and_describe_pyramid
+
+        img_a = gaussian_filter(rng.normal(size=(128, 128)), 2.0)
+        img_a = ((img_a - img_a.min()) / np.ptp(img_a)).astype(np.float32)
+        ang = 30.0
+        img_b = ndrotate(img_a, ang, reshape=False, order=1)
+        ka, da = detect_and_describe_pyramid(jnp.asarray(img_a), max_keypoints=64,
+                                             upright=False)
+        kb, db = detect_and_describe_pyramid(jnp.asarray(img_b), max_keypoints=64,
+                                             upright=False)
+        m = match_descriptors(da, db, ka.valid, kb.valid)
+        v = np.asarray(m.valid)
+        ia, ib = np.asarray(m.idx_a)[v], np.asarray(m.idx_b)[v]
+        # fit the in-plane rotation about the image center from the matches
+        # (Procrustes); it must be ~30 deg and explain the correspondences
+        c = (128 - 1) / 2.0
+        xa = np.asarray(ka.xy)[ia] - c
+        xb = np.asarray(kb.xy)[ib] - c
+        interior = (np.linalg.norm(xa, axis=1) < 50) & (np.linalg.norm(xb, axis=1) < 50)
+        assert interior.sum() >= 5, f"only {interior.sum()} interior matches"
+        A, B = xa[interior], xb[interior]
+        U, _, Vt = np.linalg.svd(B.T @ A)
+        R = U @ np.diag([1, np.sign(np.linalg.det(U @ Vt))]) @ Vt
+        fitted = np.rad2deg(np.arctan2(R[1, 0], R[0, 0]))
+        assert abs(abs(fitted) - ang) < 3.0, f"fitted rotation {fitted} deg"
+        err = np.linalg.norm(A @ R.T - B, axis=1)
+        assert (err < 3.0).mean() > 0.6, f"rotation-match inlier frac {(err < 3.0).mean()}"
+
+
 class TestMatcher:
     def test_exact_self_match(self, rng):
         d = rng.normal(size=(40, 16)).astype(np.float32)

@@ -105,10 +105,23 @@ def test_build_tracks_chains_and_conflicts():
     t = list(tracks.values())[0]
     assert t == {0: 5, 1: 7, 2: 9}
 
-    # conflicting: frame 2 seen at two kps in one track
+    # conflicting: frame 2 seen at two kps in one track -> frame 2's
+    # observations are dropped, the consistent 0-1 core survives
     m2 = {
         (0, 1): (np.array([5]), np.array([7])),
         (1, 2): (np.array([7]), np.array([9])),
         (0, 2): (np.array([5]), np.array([8])),
     }
-    assert len(build_tracks(m2)) == 0
+    tracks2 = build_tracks(m2)
+    assert len(tracks2) == 1
+    assert list(tracks2.values())[0] == {0: 5, 1: 7}
+
+    # a track that is ONLY conflict (both members in one frame) still dies
+    m3 = {(0, 1): (np.array([5]), np.array([7])),
+          (0, 2): (np.array([6]), np.array([7]))}
+    # members: (0,5),(1,7),(0,6),(2,7)? -- single group via (1,7)/(2,7)? no:
+    # (0,5)-(1,7) and (0,6)-(2,7) are separate groups; craft a direct case:
+    m3 = {(0, 1): (np.array([5, 6]), np.array([7, 7]))}
+    # kp7 in frame 1 matched from two frame-0 kps -> one group, frames [0,0,1]
+    # -> both frame-0 obs dropped -> only frame-1 left -> track dies
+    assert len(build_tracks(m3)) == 0

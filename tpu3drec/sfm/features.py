@@ -61,6 +61,32 @@ def dog_stack(img: jnp.ndarray, num_scales: int = 4, sigma0: float = 1.6):
     return G, D, jnp.asarray(sigmas)
 
 
+def dog_stack_from_base(base: jnp.ndarray, num_scales: int = 5,
+                        sigma0: float = 1.6):
+    """Gaussian stack for one pyramid octave whose ``base`` image already
+    carries exactly sigma0 blur (COLMAP-SIFT octave structure, ref workflow
+    `ref/software_record/colmap使用.docx` §2.2).
+
+    ``num_scales`` = number of DoG slices. The scale step is
+    k = 2^(1/(num_scales-2)) so the *interior* DoG slices (the only ones
+    extrema detection keeps) span exactly one doubling sigma0*k .. 2*sigma0
+    — consecutive octaves tile scale space with no gap (Lowe's s+3
+    construction). Blurs are applied from the base with
+    delta_i = sigma0*sqrt(k^{2i}-1), so slice i's labeled sigma really is
+    sigma0*k^i in octave pixels. The next octave's base is
+    G[num_scales-2] (sigma = 2*sigma0) subsampled 2x.
+    Returns (G (S+1,H,W), D (S,H,W), sigmas (S+1,))."""
+    k = 2.0 ** (1.0 / max(num_scales - 2, 1))
+    sigmas = [sigma0 * (k ** i) for i in range(num_scales + 1)]
+    gs = [base]
+    for i in range(1, num_scales + 1):
+        delta = sigma0 * (k ** (2 * i) - 1.0) ** 0.5
+        gs.append(gaussian_blur(base, delta))
+    G = jnp.stack(gs)
+    D = G[1:] - G[:-1]
+    return G, D, jnp.asarray(sigmas)
+
+
 # ---------------------------------------------------------------- detection
 
 class Keypoints(NamedTuple):
@@ -187,13 +213,75 @@ def _dominant_orientation(mag, ori, s_idx, x_idx, y_idx, radius: int = 8, bins: 
         o = ori[s, ys, xs]
         b = jnp.floor((o + jnp.pi) / (2 * jnp.pi) * bins).astype(jnp.int32) % bins
         hist = jnp.zeros(bins).at[b.reshape(-1)].add(m.reshape(-1))
+        # circular smoothing (Lowe) stabilizes the peak on symmetric corners
+        hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
         peak = jnp.argmax(hist)
-        return (peak.astype(jnp.float32) + 0.5) / bins * 2 * jnp.pi - jnp.pi
+        # parabolic peak interpolation: sub-bin accuracy (~1-2 deg) instead
+        # of the 360/bins quantization — measurably tightens descriptor
+        # repeatability under in-plane rotation
+        hl = hist[(peak - 1) % bins]
+        hc = hist[peak]
+        hr = hist[(peak + 1) % bins]
+        denom = hl - 2.0 * hc + hr
+        off = jnp.where(jnp.abs(denom) > 1e-12,
+                        0.5 * (hl - hr) / jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0),
+                        0.0)
+        off = jnp.clip(off, -0.5, 0.5)
+        return ((peak.astype(jnp.float32) + 0.5 + off) / bins) * 2 * jnp.pi - jnp.pi
 
     return jax.vmap(one)(s_idx, x_idx, y_idx)
 
 
 # --------------------------------------------------------------- descriptor
+
+def _hist_from_gradients(rgx, rgy, px, py, patch_grid: int, ori_bins: int):
+    """Gradient samples -> SIFT histogram with Gaussian windowing and
+    trilinear soft binning (Lowe §6): each sample's magnitude is split
+    bilinearly over the 2x2 neighboring spatial cells and linearly over the
+    2 neighboring orientation bins — kills the cell-boundary aliasing that
+    hard binning suffers under sub-pixel shifts (the dominant descriptor
+    noise at wide baseline). Returns the raw (cells^2 * ori_bins,) hist."""
+    cell = patch_grid
+    m = jnp.sqrt(rgx * rgx + rgy * rgy)
+    # Gaussian window over the patch (sigma = half patch half-width)
+    m = m * jnp.exp(-(px ** 2 + py ** 2) / (2.0 * 0.5 ** 2))
+    o = jnp.arctan2(rgy, rgx)
+
+    cfy = (py + 1.0) * 0.5 * cell - 0.5
+    cfx = (px + 1.0) * 0.5 * cell - 0.5
+    y0 = jnp.floor(cfy)
+    x0 = jnp.floor(cfx)
+    fy = cfy - y0
+    fx = cfx - x0
+    ofs = (o + jnp.pi) / (2 * jnp.pi) * ori_bins - 0.5
+    b0 = jnp.floor(ofs)
+    fb = ofs - b0
+
+    hist = jnp.zeros(cell * cell * ori_bins)
+    for dy_, wy_ in ((0, 1.0 - fy), (1, fy)):
+        yi = y0 + dy_
+        in_y = (yi >= 0) & (yi <= cell - 1)
+        yc = jnp.clip(yi, 0, cell - 1).astype(jnp.int32)
+        for dx_, wx_ in ((0, 1.0 - fx), (1, fx)):
+            xi = x0 + dx_
+            in_x = (xi >= 0) & (xi <= cell - 1)
+            xc = jnp.clip(xi, 0, cell - 1).astype(jnp.int32)
+            for db_, wb_ in ((0, 1.0 - fb), (1, fb)):
+                bc = (b0.astype(jnp.int32) + db_) % ori_bins
+                w = m * wy_ * wx_ * wb_ * in_y * in_x
+                flat = (yc * cell + xc) * ori_bins + bc
+                hist = hist.at[flat.reshape(-1)].add(w.reshape(-1))
+    return hist
+
+
+def _finalize_descriptor(hist: jnp.ndarray) -> jnp.ndarray:
+    """SIFT normalize-clip(0.2)-renormalize, then RootSIFT (L1 + sqrt,
+    Arandjelovic & Zisserman 2012): dot products become the Hellinger
+    kernel, a well-measured matching win at zero runtime cost."""
+    v = hist / jnp.maximum(jnp.linalg.norm(hist), 1e-12)
+    v = jnp.minimum(v, 0.2)
+    v = v / jnp.maximum(jnp.sum(v), 1e-12)
+    return jnp.sqrt(v)
 
 @partial(jax.jit, static_argnames=("patch_grid", "ori_bins"))
 def describe_keypoints(
@@ -239,35 +327,215 @@ def describe_keypoints(
         # rotate gradients into the patch frame
         rgx = ca * gx + sa * gy
         rgy = -sa * gx + ca * gy
-        m = jnp.sqrt(rgx * rgx + rgy * rgy)
-        o = jnp.arctan2(rgy, rgx)
-
-        # soft spatial binning: each sample contributes to its cell
-        cell = patch_grid
-        cy_idx = jnp.clip(((py + 1) * 0.5 * cell).astype(jnp.int32), 0, cell - 1)
-        cx_idx = jnp.clip(((px + 1) * 0.5 * cell).astype(jnp.int32), 0, cell - 1)
-        ob = jnp.floor((o + jnp.pi) / (2 * jnp.pi) * ori_bins).astype(jnp.int32) % ori_bins
-        flat_bin = (cy_idx * cell + cx_idx) * ori_bins + ob
-        hist = jnp.zeros(cell * cell * ori_bins).at[flat_bin.reshape(-1)].add(m.reshape(-1))
-
-        v = hist / jnp.maximum(jnp.linalg.norm(hist), 1e-12)
-        v = jnp.minimum(v, 0.2)
-        return v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+        return _finalize_descriptor(
+            _hist_from_gradients(rgx, rgy, px, py, patch_grid, ori_bins))
 
     desc = jax.vmap(one)(kps.xy, kps.scale, kps.angle)
     return jnp.where(kps.valid[:, None], desc, 0.0)
 
 
+def _describe_on_stack(G: jnp.ndarray, xy: jnp.ndarray, s_idx: jnp.ndarray,
+                       sigma: jnp.ndarray, angle: jnp.ndarray,
+                       valid: jnp.ndarray,
+                       patch_grid: int = 4, ori_bins: int = 8) -> jnp.ndarray:
+    """SIFT descriptors sampled from the *Gaussian stack* of one octave:
+    each keypoint's gradients come from its own scale slice G[s], at octave
+    coordinates — this is what makes descriptors scale-covariant across
+    octaves (a blob twice as large, detected one octave up, sees the same
+    patch)."""
+    S1, H, W = G.shape
+    gx_st = (jnp.roll(G, -1, 2) - jnp.roll(G, 1, 2)) * 0.5
+    gy_st = (jnp.roll(G, -1, 1) - jnp.roll(G, 1, 1)) * 0.5
+
+    n = 4 * patch_grid
+    lin = (jnp.arange(n) + 0.5) / n * 2.0 - 1.0
+    py, px = jnp.meshgrid(lin, lin, indexing="ij")
+
+    def one(xy1, s, sg, ang):
+        ca, sa = jnp.cos(ang), jnp.sin(ang)
+        rad = 6.0 * sg
+        sx = (ca * px - sa * py) * rad + xy1[0]
+        sy = (sa * px + ca * py) * rad + xy1[1]
+        xs = jnp.clip(sx, 0, W - 1)
+        ys = jnp.clip(sy, 0, H - 1)
+        x0 = jnp.floor(xs).astype(jnp.int32)
+        y0 = jnp.floor(ys).astype(jnp.int32)
+        x1 = jnp.minimum(x0 + 1, W - 1)
+        y1 = jnp.minimum(y0 + 1, H - 1)
+        wx = xs - x0
+        wy = ys - y0
+
+        def samp(f):
+            return (
+                f[s, y0, x0] * (1 - wx) * (1 - wy)
+                + f[s, y0, x1] * wx * (1 - wy)
+                + f[s, y1, x0] * (1 - wx) * wy
+                + f[s, y1, x1] * wx * wy
+            )
+
+        gx = samp(gx_st)
+        gy = samp(gy_st)
+        rgx = ca * gx + sa * gy
+        rgy = -sa * gx + ca * gy
+        return _finalize_descriptor(
+            _hist_from_gradients(rgx, rgy, px, py, patch_grid, ori_bins))
+
+    desc = jax.vmap(one)(xy, s_idx, sigma, angle)
+    return jnp.where(valid[:, None], desc, 0.0)
+
+
+# ------------------------------------------------------------ multi-octave
+
+@partial(jax.jit, static_argnames=(
+    "max_keypoints", "num_octaves", "num_scales", "upright", "upsample_first"))
+def detect_and_describe_pyramid(
+    img: jnp.ndarray,
+    max_keypoints: int = 1024,
+    num_octaves: int = 3,
+    num_scales: int = 5,
+    threshold: float = 0.01,
+    sigma0: float = 1.6,
+    upright: bool = False,
+    upsample_first: bool = True,
+) -> tuple[Keypoints, jnp.ndarray]:
+    """Multi-octave DoG detection + per-octave descriptors — the COLMAP-SIFT
+    octave structure (`ref/software_record/colmap使用.docx` §2.2) that a
+    single-octave stack cannot reproduce: large-scale features on
+    native-resolution imagery (e.g. KITTI 1241x376) only appear octaves up.
+
+    Per octave o (image /2^o): DoG extrema -> per-octave top-K_o candidates
+    (K_o = max_keypoints >> o, floor 64) -> descriptors sampled from that
+    octave's Gaussian stack. Candidates from all octaves compete in one
+    global top-``max_keypoints`` by DoG response. Coordinates/scales are
+    reported in full-resolution pixels. Static shapes throughout, so the
+    whole function vmaps over frames.
+
+    ``upsample_first`` prepends a 2x-upsampled octave (-1) — COLMAP SIFT's
+    ``first_octave=-1`` default — extending the detectable band one doubling
+    *down* (full-res sigma ~1.0-1.6); without it, fine-scale features right
+    at sigma0*k sit on the stack's scale border and drop out."""
+    Hf, Wf = img.shape
+    octaves = list(range(num_octaves))
+    if upsample_first:
+        octaves = [-1] + octaves
+        # bilinear 2x upsample; the upsampled image carries ~1.0px blur in
+        # its own pixels (0.5px native doubled), so top up to exactly sigma0
+        base = jax.image.resize(img, (2 * Hf, 2 * Wf), "bilinear")
+        base = gaussian_blur(base, max(sigma0 ** 2 - 1.0, 0.25) ** 0.5)
+    else:
+        # octave-0 base at exactly sigma0 (treat input as unblurred —
+        # matches the round-1 single-octave stack, G[0] = blur(img, sigma0))
+        base = gaussian_blur(img, sigma0)
+
+    all_xy, all_scale, all_angle, all_score, all_valid, all_desc = \
+        [], [], [], [], [], []
+    for o in octaves:
+        H, W = base.shape
+        if min(H, W) < 32:
+            break
+        k_o = max(max_keypoints >> max(o, 0), 64)
+        G, D, sigmas = dog_stack_from_base(base, num_scales=num_scales,
+                                           sigma0=sigma0)
+        ext = _local_extrema(D, threshold) & _edge_response_ok(D)
+        score = jnp.where(ext, jnp.abs(D), -jnp.inf)
+        flat = score.reshape(-1)
+        vals, idx = jax.lax.top_k(flat, k_o)
+        s_idx = idx // (H * W)
+        y_idx = (idx % (H * W)) // W
+        x_idx = idx % W
+        valid = jnp.isfinite(vals)
+
+        def refine(s, y, x, D=D):
+            c = D[s, y, x]
+            gx = 0.5 * (D[s, y, x + 1] - D[s, y, x - 1])
+            gy = 0.5 * (D[s, y + 1, x] - D[s, y - 1, x])
+            hxx = D[s, y, x + 1] + D[s, y, x - 1] - 2 * c
+            hyy = D[s, y + 1, x] + D[s, y - 1, x] - 2 * c
+            hxy = 0.25 * (
+                D[s, y + 1, x + 1] - D[s, y + 1, x - 1]
+                - D[s, y - 1, x + 1] + D[s, y - 1, x - 1]
+            )
+            det = hxx * hyy - hxy * hxy
+            det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+            ox = -(hyy * gx - hxy * gy) / det
+            oy = -(-hxy * gx + hxx * gy) / det
+            return jnp.clip(jnp.stack([ox, oy]), -0.5, 0.5)
+
+        y_c = jnp.clip(y_idx, 1, H - 2)
+        x_c = jnp.clip(x_idx, 1, W - 2)
+        offsets = jax.vmap(refine)(s_idx, y_c, x_c)
+        xy_oct = jnp.stack([x_idx, y_idx], -1).astype(jnp.float32) + offsets
+        sg_oct = sigmas[s_idx + 1]
+
+        if upright:
+            angle = jnp.zeros((k_o,), jnp.float32)
+        else:
+            gxs = (jnp.roll(G, -1, 2) - jnp.roll(G, 1, 2)) * 0.5
+            gys = (jnp.roll(G, -1, 1) - jnp.roll(G, 1, 1)) * 0.5
+            mag = jnp.sqrt(gxs * gxs + gys * gys)
+            ori = jnp.arctan2(gys, gxs)
+            angle = _dominant_orientation(mag, ori, s_idx + 1, x_idx, y_idx)
+
+        desc = _describe_on_stack(G, xy_oct, s_idx + 1, sg_oct, angle, valid)
+
+        f = float(2 ** o)
+        all_xy.append((xy_oct + 0.5) * f - 0.5)   # pixel-center convention
+        all_scale.append(sg_oct * f)
+        all_angle.append(angle)
+        all_score.append(jnp.where(valid, vals, -jnp.inf))
+        all_valid.append(valid)
+        all_desc.append(desc)
+        # next octave base: the sigma=2*sigma0 slice, subsampled 2x
+        base = G[num_scales - 2][::2, ::2]
+
+    xy = jnp.concatenate(all_xy)
+    scale = jnp.concatenate(all_scale)
+    angle = jnp.concatenate(all_angle)
+    score = jnp.concatenate(all_score)
+    valid = jnp.concatenate(all_valid)
+    desc = jnp.concatenate(all_desc)
+
+    top_s, top_i = jax.lax.top_k(score, max_keypoints)
+    sel_valid = valid[top_i] & jnp.isfinite(top_s)
+    sel_xy = xy[top_i]
+
+    # cross-octave non-max suppression: the same physical feature detected
+    # in two octaves (esp. octave -1 duplicating octave 0) yields two
+    # keypoints within ~a pixel. Downstream track building sees them as a
+    # same-frame conflict and drops the track — so duplicates preferentially
+    # kill the STRONGEST tracks. Greedy triangular NMS: a keypoint is
+    # suppressed if any higher-scored one sits within 2px (top_k output is
+    # score-sorted, so "higher-scored" == lower row index).
+    d2 = jnp.sum((sel_xy[:, None, :] - sel_xy[None, :, :]) ** 2, -1)
+    close = (d2 < 2.0 ** 2) & sel_valid[None, :]
+    tri = jnp.tril(jnp.ones_like(close), k=-1)  # j < i
+    suppressed = jnp.any(close & tri, axis=1)
+    sel_valid = sel_valid & ~suppressed
+
+    kps = Keypoints(
+        xy=sel_xy, scale=scale[top_i], angle=angle[top_i],
+        score=jnp.where(sel_valid, top_s, 0.0), valid=sel_valid,
+    )
+    return kps, jnp.where(sel_valid[:, None], desc[top_i], 0.0)
+
+
 def detect_and_describe(
-    img: jnp.ndarray, max_keypoints: int = 1024, upright: bool = False, **kw
+    img: jnp.ndarray, max_keypoints: int = 1024, upright: bool = False,
+    num_octaves: int = 3, **kw
 ):
     """Convenience: grayscale (H,W) -> (Keypoints, descriptors (K,128)).
 
-    ``upright=True`` skips rotation normalization — more stable and ~2x the
-    match yield on forward-motion video (KITTI-style), where roll is
-    negligible and dominant-orientation estimates flap on symmetric corners.
+    Multi-octave by default (``num_octaves=3``); ``num_octaves=1`` recovers
+    the round-1 single-octave stack. ``upright=True`` skips rotation
+    normalization — more stable on forward-motion video (KITTI-style),
+    where roll is negligible and dominant-orientation estimates flap on
+    symmetric corners.
     """
-    kps = detect_keypoints(img, max_keypoints=max_keypoints, **kw)
-    if upright:
-        kps = kps._replace(angle=jnp.zeros_like(kps.angle))
-    return kps, describe_keypoints(img, kps)
+    if num_octaves == 1:
+        kps = detect_keypoints(img, max_keypoints=max_keypoints, **kw)
+        if upright:
+            kps = kps._replace(angle=jnp.zeros_like(kps.angle))
+        return kps, describe_keypoints(img, kps)
+    return detect_and_describe_pyramid(
+        img, max_keypoints=max_keypoints, num_octaves=num_octaves,
+        upright=upright, **kw)

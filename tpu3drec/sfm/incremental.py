@@ -91,7 +91,16 @@ def build_tracks(pair_matches: dict) -> dict:
             continue
         frames = [f for f, _ in members]
         if len(set(frames)) != len(frames):
-            continue  # inconsistent track
+            # same-frame conflict: drop only the conflicting frames'
+            # observations, not the whole track (dropping whole tracks
+            # preferentially destroys the strongest features — any residual
+            # cross-octave duplicate of a good feature lands here)
+            from collections import Counter
+
+            counts = Counter(frames)
+            members = [(f, k) for f, k in members if counts[f] == 1]
+            if len(members) < 2:
+                continue
         tracks[tid] = {f: k for f, k in members}
         tid += 1
     return tracks
@@ -133,12 +142,37 @@ def run_sfm(
     # (fused Pallas matcher on TPU, vmapped XLA elsewhere)
     pairs = np.asarray(sequential_pairs(F, overlap=overlap))
     m = match_pairs(descs, kps.valid, jnp.asarray(pairs), ratio=ratio)
+
+    # 2b. geometric verification (COLMAP's per-pair epipolar RANSAC stage,
+    # colmap使用.docx §2.3): descriptor matches at ~80% precision corrupt the
+    # union-find tracks; keeping only essential-matrix inliers lifts track
+    # precision to ~99%. One vmapped dispatch over all pairs.
+    uv_a = jnp.take_along_axis(
+        jnp.asarray(xy)[pairs[:, 0]], m.idx_a[..., None], axis=1)
+    uv_b = jnp.take_along_axis(
+        jnp.asarray(xy)[pairs[:, 1]], m.idx_b[..., None], axis=1)
+    tv_rngs = jax.random.split(rngs[F + 1], len(pairs))
+    tv = jax.vmap(
+        lambda a, b, v, r: estimate_relative_pose(a, b, v, jnp.asarray(rec.K), r,
+                                                  inlier_px=3.0)
+    )(uv_a, uv_b, m.valid, tv_rngs)
+    geo_valid = np.asarray(m.valid & tv.inliers)
+    geo_n = np.asarray(tv.n_inliers)
+
     m_valid = np.asarray(m.valid)
     m_ia = np.asarray(m.idx_a)
     m_ib = np.asarray(m.idx_b)
     pair_matches = {}
     for p, (i, j) in enumerate(pairs):
-        sel = m_valid[p]
+        # verified pairs contribute only epipolar inliers; pairs where
+        # verification itself failed (degenerate/no geometry) are dropped
+        # like COLMAP drops unverified image pairs
+        if int(geo_n[p]) >= 12:
+            sel = geo_valid[p]
+        elif int(m_valid[p].sum()) >= 8 and int(geo_n[p]) >= 8:
+            sel = geo_valid[p]
+        else:
+            continue
         pair_matches[(int(i), int(j))] = (m_ia[p][sel], m_ib[p][sel])
 
     tracks = build_tracks(pair_matches)

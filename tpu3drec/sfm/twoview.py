@@ -117,6 +117,7 @@ def estimate_relative_pose(
     best = jnp.argmax(scores)
 
     # LO-RANSAC: iterate weighted refit on the growing inlier set
+    E_best = Es[best]
     w = inl[best].astype(x1.dtype)
 
     def refit(w, _):
@@ -124,8 +125,15 @@ def estimate_relative_pose(
         err = sampson_error(E, x1, x2)
         return ((err < thresh) & valid).astype(x1.dtype), E
 
-    w, Es = jax.lax.scan(refit, w, None, length=3)
-    E = Es[-1]
+    w, Es_lo = jax.lax.scan(refit, w, None, length=3)
+    # guard: a refit over a contaminated inlier set can diverge — keep the
+    # refit only if it scores at least as many inliers as the raw best
+    # hypothesis (measured: at ~50% precision / 18 matches the unguarded
+    # refit returned a degenerate E with 0 inliers)
+    E_lo = Es_lo[-1]
+    n_lo = jnp.sum((sampson_error(E_lo, x1, x2) < thresh) & valid)
+    n_raw = jnp.sum((sampson_error(E_best, x1, x2) < thresh) & valid)
+    E = jnp.where(n_lo >= n_raw, E_lo, E_best)
     final_err = sampson_error(E, x1, x2)
     inliers = (final_err < thresh) & valid
 
