@@ -292,14 +292,54 @@ def run_sfm(
     return rec
 
 
+def _filter_observations(rec: Reconstruction, tracks, xy,
+                         max_err_px: float = 4.0) -> int:
+    """COLMAP's observation-filter step: drop track observations whose
+    reprojection error against the current model exceeds ``max_err_px``,
+    and landmarks left with <2 observations. Without this, mismatched
+    observations (the ~10-20%% the ratio test lets through) accumulate as
+    the map grows and dilute later PnP consensus below the acceptance
+    threshold (measured: frame-7 inliers fell to 1/326 on the occluded
+    urban sim before filtering; full registration after)."""
+    removed = 0
+    dead = []
+    for tid in list(rec.points.keys()):
+        X = rec.points[tid]
+        obs = tracks.get(tid, {})
+        bad = []
+        for f, k in obs.items():
+            if f not in rec.poses:
+                continue
+            R, t = rec.poses[f]
+            Xc = R @ X + t
+            if Xc[2] <= 1e-6:
+                bad.append(f)
+                continue
+            u = Xc[0] / Xc[2] * rec.K[0, 0] + rec.K[0, 2]
+            v = Xc[1] / Xc[2] * rec.K[1, 1] + rec.K[1, 2]
+            kp = xy[f, k]
+            if (u - kp[0]) ** 2 + (v - kp[1]) ** 2 > max_err_px ** 2:
+                bad.append(f)
+        for f in bad:
+            del obs[f]
+            removed += 1
+        if len(obs) < 2:
+            dead.append(tid)
+    for tid in dead:
+        del rec.points[tid]
+    return removed
+
+
 def _triangulate_new(rec: Reconstruction, tracks, xy, min_track_len):
     """Triangulate tracks seen in >=2 registered frames, batched."""
     todo = []
     for tid, obs in tracks.items():
         if tid in rec.points:
             continue
-        reg = [f for f in obs if f in rec.poses]
+        reg = sorted(f for f in obs if f in rec.poses)
         if len(reg) >= max(2, min_track_len):
+            # widest-baseline registered pair (insertion order is union-find
+            # order — unsorted it can pick an adjacent tiny-baseline pair)
             f1, f2 = reg[0], reg[-1]
             todo.append((tid, f1, f2, obs[f1], obs[f2]))
     if not todo:
@@ -404,3 +444,7 @@ def _run_ba(rec: Reconstruction, tracks, xy, depth_maps=None, depth_weight=2.0):
         rec.poses[f] = (R.astype(np.float32), new_cams[i, 3:].astype(np.float32))
     for t, i in tidx.items():
         rec.points[t] = new_pts[i]
+    # COLMAP's post-BA cycle: filter outlier observations against the
+    # refined model, then re-triangulate tracks that lost their point
+    _filter_observations(rec, tracks, xy)
+    _triangulate_new(rec, tracks, xy, min_track_len=2)
