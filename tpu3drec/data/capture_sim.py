@@ -345,6 +345,38 @@ class PlanarScene:
         return (np.clip(rgb, 0, 1) * 255).astype(np.uint8), depth.astype(np.float32)
 
 
+def render_stereo_pairs(scene: "PlanarScene", poses, cam: "CameraConfig",
+                        baseline: float = 0.1, max_depth: float = 60.0):
+    """Rectified stereo pairs with GT disparity from the ray-cast depth.
+
+    The right camera shares R and sits ``baseline`` metres along the
+    camera +x axis (the reference's stereo T convention,
+    `ref/monodepth2/mono_dataset.py:203-209`: side frame at +-0.1 m).
+    GT disparity d = fx * B / Z from the left depth map; pixels whose
+    right-view correspondence falls off-frame or whose depth is invalid
+    are masked out. Returns (lefts, rights, disps, masks) float32 stacks,
+    images in [0, 1].
+    """
+    lefts, rights, disps, masks = [], [], [], []
+    for R, t in poses:
+        # C' = C + B * (cam x-axis in world) => t' = -R C' = t - [B,0,0]
+        t_r = (np.asarray(t, np.float32)
+               - np.array([baseline, 0.0, 0.0], np.float32))
+        rgb_l, depth_l = scene.render(R, t, cam, max_depth=max_depth)
+        rgb_r, _ = scene.render(R, t_r, cam, max_depth=max_depth)
+        valid = depth_l > 0
+        disp = np.where(valid, cam.fx * baseline / np.maximum(depth_l, 1e-6),
+                        0.0).astype(np.float32)
+        xx = np.arange(cam.width, dtype=np.float32)[None, :]
+        mask = (valid & (xx - disp >= 0)).astype(np.float32)
+        lefts.append(rgb_l.astype(np.float32) / 255.0)
+        rights.append(rgb_r.astype(np.float32) / 255.0)
+        disps.append(disp)
+        masks.append(mask)
+    return (np.stack(lefts), np.stack(rights), np.stack(disps),
+            np.stack(masks))
+
+
 def orbit_poses(n_frames: int, center, radius: float, y: float = 0.0,
                 span_deg: float = 360.0, start_deg: float = 0.0):
     """Inward-looking circle: cameras on a horizontal ring about ``center``,

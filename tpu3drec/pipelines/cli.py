@@ -119,6 +119,60 @@ def _cmd_train_mono(args):
     train(cfg, tl, vl)
 
 
+def _cmd_train_stereo(args):
+    """PSMNet supervised training (`ref/readme.md:21-22` names PSMNet as a
+    depth source; training side is ours). Data: either --data DIR with
+    left/N.png right/N.png disp/N.npy, or --sim N to ray-cast N stereo
+    pairs from the occluded urban scene."""
+    from tpu3drec.models.psmnet_training import StereoTrainConfig
+    from tpu3drec.pipelines.stereo import train
+
+    if args.sim:
+        from scipy.spatial.transform import Rotation as ScipyR
+
+        from tpu3drec.data.capture_sim import PlanarScene, render_stereo_pairs
+        from tpu3drec.utils.config import CameraConfig
+
+        rng = np.random.default_rng(args.seed)
+        scene = PlanarScene.urban(rng, n_boxes=12, extent=35.0)
+        cam = CameraConfig(fx=args.width * 0.9, fy=args.width * 0.9,
+                           cx=(args.width - 1) / 2, cy=(args.height - 1) / 2,
+                           width=args.width, height=args.height)
+        poses = []
+        for f in range(args.sim):
+            R = ScipyR.from_rotvec([0, 0.02 * f, 0]).as_matrix().astype(np.float32)
+            C = np.array([0.4 * f, -1.2, 0.8 * f], np.float32)
+            poses.append((R, (-R @ C).astype(np.float32)))
+        lefts, rights, disp, mask = render_stereo_pairs(
+            scene, poses, cam, baseline=args.baseline)
+    else:
+        from PIL import Image
+
+        ls = sorted(glob.glob(os.path.join(args.data, "left", "*")))
+        lefts, rights, disp, mask = [], [], [], []
+        for lp in ls:
+            name = os.path.splitext(os.path.basename(lp))[0]
+            rp = glob.glob(os.path.join(args.data, "right", name + ".*"))[0]
+            dp = os.path.join(args.data, "disp", name + ".npy")
+            lefts.append(np.asarray(Image.open(lp), np.float32)[..., :3] / 255.0)
+            rights.append(np.asarray(Image.open(rp), np.float32)[..., :3] / 255.0)
+            d = np.load(dp).astype(np.float32)
+            disp.append(d)
+            mask.append((d > 0).astype(np.float32))
+        lefts, rights = np.stack(lefts), np.stack(rights)
+        disp, mask = np.stack(disp), np.stack(mask)
+
+    cfg = StereoTrainConfig(
+        learning_rate=args.lr, num_epochs=args.epochs,
+        batch_size=args.batch_size, height=lefts.shape[1],
+        width=lefts.shape[2], max_disp=args.max_disp,
+    )
+    _, state, last = train(cfg, lefts, rights, disp, mask,
+                           log_dir=args.log_dir, seed=args.seed)
+    print(f"trained {int(state.step)} steps, final loss {last:.4f} "
+          f"-> {args.log_dir}/ckpt")
+
+
 def _cmd_kitti_eval(args):
     from tpu3drec.data.kitti_odom import KittiOdometryDataset
     from tpu3drec.pipelines.kitti import (
@@ -267,6 +321,21 @@ def main(argv=None):
     q.add_argument("--use-gt-pose", dest="use_gt_pose", action="store_true")
     q.add_argument("--log-dir", dest="log_dir", default="runs/monocular")
     q.set_defaults(fn=_cmd_train_mono)
+
+    q = sub.add_parser("train-stereo", help="PSMNet supervised training")
+    q.add_argument("--data", default="", help="dir with left/ right/ disp/")
+    q.add_argument("--sim", type=int, default=0,
+                   help="ray-cast N synthetic stereo pairs instead of --data")
+    q.add_argument("--height", type=int, default=192)
+    q.add_argument("--width", type=int, default=320)
+    q.add_argument("--baseline", type=float, default=0.1)
+    q.add_argument("--max-disp", dest="max_disp", type=int, default=64)
+    q.add_argument("--batch-size", dest="batch_size", type=int, default=2)
+    q.add_argument("--lr", type=float, default=1e-3)
+    q.add_argument("--epochs", type=int, default=10)
+    q.add_argument("--seed", type=int, default=0)
+    q.add_argument("--log-dir", dest="log_dir", default="runs/stereo")
+    q.set_defaults(fn=_cmd_train_stereo)
 
     q = sub.add_parser("occupancy", help="depth+poses -> log-odds occupancy .bt (with free space)")
     q.add_argument("--config")

@@ -29,6 +29,58 @@ class StereoPipelineConfig:
     batch: int = 4
 
 
+def train(
+    cfg,                          # StereoTrainConfig
+    lefts: np.ndarray,            # (F,H,W,3) float [0,1]
+    rights: np.ndarray,
+    gt_disp: np.ndarray,          # (F,H,W) pixels
+    mask: np.ndarray,             # (F,H,W) validity
+    log_dir: str = "runs/stereo",
+    log_every: int = 10,
+    resume: bool = True,
+    seed: int = 0,
+):
+    """Supervised PSMNet training (smooth-L1 on GT disparity,
+    `models/psmnet.py:146`), the training side the reference documents but
+    never ships (`ref/readme.md:21-22`). Jitted DP step, orbax checkpoints,
+    JSONL metrics — same loop skeleton as `pipelines/monocular.train`."""
+    from tpu3drec.models.psmnet_training import (
+        init_stereo_state,
+        iterate_stereo_batches,
+        make_stereo_train_step,
+    )
+    from tpu3drec.utils.checkpoint import CheckpointManager
+    from tpu3drec.utils.metrics_logger import MetricsLogger, ThroughputMeter
+
+    model, state, tx = init_stereo_state(jax.random.PRNGKey(seed), cfg)
+    ckpt = CheckpointManager(log_dir + "/ckpt", save_frequency=5)
+    ckpt.save_config(cfg)
+    if resume:
+        state = ckpt.restore(state)
+    step_fn = make_stereo_train_step(model, tx)
+    logger = MetricsLogger(log_dir, "train")
+    steps_per_epoch = max(lefts.shape[0] // cfg.batch_size, 1)
+    meter = ThroughputMeter(cfg.num_epochs * steps_per_epoch, cfg.batch_size)
+    rng = np.random.default_rng(seed)
+
+    step = int(state.step)
+    last_loss = float("nan")
+    for epoch in range(cfg.num_epochs):
+        for batch in iterate_stereo_batches(lefts, rights, gt_disp, mask,
+                                            cfg.batch_size, rng):
+            state, loss = step_fn(state, batch)
+            step += 1
+            last_loss = float(loss)
+            if step % log_every == 0:
+                scalars = {"loss": last_loss}
+                scalars.update(meter.report(step))
+                logger.log(step, scalars, echo=True)
+        ckpt.maybe_save(epoch, state)
+    ckpt.save(step, state)
+    logger.close()
+    return model, state, last_loss
+
+
 def infer_disparity(model: PSMNet, variables, lefts: np.ndarray,
                     rights: np.ndarray, batch: int = 4) -> np.ndarray:
     """(F,H,W,3) pairs -> (F,H,W) disparity, batched dispatches."""
@@ -45,6 +97,17 @@ def infer_disparity(model: PSMNet, variables, lefts: np.ndarray,
         d = np.asarray(fwd(jnp.asarray(l), jnp.asarray(r)))
         out.append(d[: batch - pad] if pad else d)
     return np.concatenate(out)
+
+
+def load_trained(log_dir: str, cfg):
+    """Restore trained PSMNet variables from a `train()` checkpoint dir.
+    Returns (model, variables) ready for `run(..., variables=...)`."""
+    from tpu3drec.models.psmnet_training import init_stereo_state
+    from tpu3drec.utils.checkpoint import CheckpointManager
+
+    model, state, _ = init_stereo_state(jax.random.PRNGKey(0), cfg)
+    state = CheckpointManager(log_dir + "/ckpt").restore(state)
+    return model, {"params": state.params, "batch_stats": state.batch_stats}
 
 
 def run(
