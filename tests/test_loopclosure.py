@@ -179,3 +179,138 @@ def test_relocalization_unlocks_disconnected_window():
             continue
         d = np.linalg.norm(Ts[f][:3, 3] - Ts[f - 12][:3, 3])
         assert d < 1.0, (f, d)
+
+
+class TestMetricClosures:
+    """Depth priors give closures a MEASURED translation magnitude
+    (VERDICT round-1 item 5): closure edges stop inheriting the drifted
+    estimate, and relocalization can place a revisit offset by metres at
+    its true pose instead of snapping to the partner's center."""
+
+    def _synthetic_closure(self, mag=5.0, n=60):
+        from tpu3drec.sfm.loopclosure import LoopClosure
+
+        rng = np.random.default_rng(2)
+        K = np.array([[220.0, 0, 128.0], [0, 220.0, 96.0], [0, 0, 1]],
+                     np.float32)
+        H, W = 192, 256
+        # points in cam_i coordinates, 8-25 m out
+        X = np.stack([
+            rng.uniform(-8, 8, n), rng.uniform(-5, 5, n), rng.uniform(8, 25, n)
+        ], axis=1)
+        th = 0.12
+        R_rel = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                          [-np.sin(th), 0, np.cos(th)]], np.float64)
+        t_dir = np.array([0.6, 0.1, 0.79])
+        t_dir = t_dir / np.linalg.norm(t_dir)
+        Xj = X @ R_rel.T + mag * t_dir
+
+        def proj(P):
+            return np.stack([P[:, 0] / P[:, 2] * K[0, 0] + K[0, 2],
+                             P[:, 1] / P[:, 2] * K[1, 1] + K[1, 2]], axis=1)
+
+        uv_i, uv_j = proj(X), proj(Xj)
+        inb = ((uv_i[:, 0] > 0) & (uv_i[:, 0] < W - 1) &
+               (uv_i[:, 1] > 0) & (uv_i[:, 1] < H - 1) &
+               (uv_j[:, 0] > 0) & (uv_j[:, 0] < W - 1) &
+               (uv_j[:, 1] > 0) & (uv_j[:, 1] < H - 1) & (Xj[:, 2] > 0.5))
+        X, uv_i, uv_j = X[inb], uv_i[inb], uv_j[inb]
+        dm = np.zeros((H, W), np.float32)
+        u = np.round(uv_i[:, 0]).astype(int)
+        v = np.round(uv_i[:, 1]).astype(int)
+        dm[v, u] = X[:, 2]
+        c = LoopClosure(i=0, j=1, R_rel=R_rel.astype(np.float32),
+                        t_dir=t_dir.astype(np.float32),
+                        n_inliers=len(uv_i),
+                        uv_i=uv_i.astype(np.float32),
+                        uv_j=uv_j.astype(np.float32))
+        return c, K, dm[None].repeat(2, axis=0), R_rel, t_dir, mag
+
+    def test_metric_magnitude_from_depth(self):
+        from tpu3drec.pipelines.kitti import closure_metric_magnitude
+
+        c, K, dms, R_rel, t_dir, mag = self._synthetic_closure(mag=5.0)
+        assert c.n_inliers > 25
+        est = closure_metric_magnitude(c, K, dms)
+        assert est is not None
+        assert abs(est - mag) / mag < 0.03, est
+
+    def test_relocalize_places_offset_revisit_at_true_pose(self):
+        """The VERDICT done-criterion: a revisit offset by 5 m converges to
+        the right pose (not the partner's center)."""
+        from tpu3drec.pipelines.kitti import KittiRunConfig, _relocalize
+
+        c, K, dms, R_rel, t_dir, mag = self._synthetic_closure(mag=5.0)
+        # frame 0 localized at an arbitrary world pose; frame 1 unknown
+        T0 = np.eye(4)
+        ang = 0.4
+        T0[:3, :3] = np.array([[np.cos(ang), -np.sin(ang), 0],
+                               [np.sin(ang), np.cos(ang), 0], [0, 0, 1]])
+        T0[:3, 3] = [3.0, -1.0, 7.0]
+        Ts = _relocalize([T0, None], [c], KittiRunConfig(), K=K,
+                         depth_maps=dms)
+        # ground truth: X_j = R_rel X_i + mag*t_dir  =>
+        # cam_j -> cam_i map is [R_rel^T | -R_rel^T (mag t_dir)]
+        T_rel = np.eye(4)
+        T_rel[:3, :3] = R_rel.T
+        T_rel[:3, 3] = -R_rel.T @ (mag * t_dir)
+        T1_gt = T0 @ T_rel
+        assert Ts[1] is not None
+        err = np.linalg.norm(Ts[1][:3, 3] - T1_gt[:3, 3])
+        assert err < 0.25, (err, Ts[1][:3, 3], T1_gt[:3, 3])
+        # and it did NOT snap to the partner's center (the round-1 behavior)
+        assert np.linalg.norm(Ts[1][:3, 3] - T0[:3, 3]) > 0.8 * mag
+
+    @pytest.mark.slow
+    def test_windowed_pipeline_metric_offset_revisit(self):
+        """End-to-end: a teleport revisit 5 m short of its first-pass twin,
+        with depth priors — the relocalized frame lands near its TRUE
+        position, a trailing-edge case zero-translation anchoring got
+        wrong by construction."""
+        from tpu3drec.pipelines.kitti import KittiRunConfig, run_windowed_sfm
+
+        rng = np.random.default_rng(11)
+        scene = SimScene.clustered(rng, n_landmarks=420, sats=4,
+                                   extent=((-25, -6, 8), (40, 6, 60)))
+        cam = CameraConfig(fx=220.0, fy=220.0, cx=128.0, cy=96.0,
+                           width=256, height=192)
+        sim = CaptureSim(scene, cam=cam)
+        fwd = sim.fly(12, step=np.array([0.55, 0.0, 0.35]), yaw_rate=0.01)
+        # frame 12 = frame 8's viewpoint (5.2 m behind frame 0's twin along
+        # the path... i.e. a revisit of the frame-0 view offset by metres)
+        offset = np.array([2.8, 0.0, 1.9], np.float32)  # ~3.4 m offset
+        R0, t0 = fwd[0]
+        C0 = -R0.T @ t0
+        C_re = C0 + offset
+        re_pose = (R0, (-R0 @ C_re).astype(np.float32))
+        poses = fwd + [re_pose]
+        frames = [render_frame(scene, R, t, cam) for R, t in poses]
+        images = np.stack([f[0].mean(-1).astype(np.float32) / 255.0
+                           for f in frames])
+        depths = np.stack([f[1] for f in frames])
+        K = np.array([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]],
+                     np.float32)
+
+        cfg = KittiRunConfig(window=8, stride=4, max_keypoints=256,
+                             loop_closure=True, lc_min_gap=10, lc_sim=0.8,
+                             verbose=True)
+        Ts, _ = run_windowed_sfm(images, K, cfg, depth_maps=depths)
+        assert Ts[12] is not None, "offset revisit not relocalized"
+        # with depth priors the trajectory is metric and frame 0 anchors the
+        # world frame: compare in the GT frame via the first-pass alignment
+        gt_T = []
+        for R, t in poses:
+            T = np.eye(4)
+            T[:3, :3] = R.T
+            T[:3, 3] = -R.T @ t
+            gt_T.append(T)
+        sel = [f for f in range(12) if Ts[f] is not None]
+        est_c = np.stack([Ts[f][:3, 3] for f in sel])
+        gt_c = np.stack([gt_T[f][:3, 3] for f in sel])
+        from tpu3drec.utils.trajectory_eval import ate
+        _, _, simT = ate(est_c, gt_c)
+        s, R_a, t_a = simT
+        c12 = s * R_a @ Ts[12][:3, 3] + t_a
+        err = np.linalg.norm(c12 - gt_T[12][:3, 3])
+        # zero-translation anchoring would err by ~|offset| (3.4 m)
+        assert err < 0.45 * np.linalg.norm(offset), (err, c12)

@@ -130,8 +130,9 @@ def run_windowed_sfm(
 
     Ts = [global_T.get(f) for f in range(F)]
     if cfg.loop_closure:
-        closure_edges, closures = _closure_edges(images, K, Ts, cfg)
-        Ts = _relocalize(Ts, closures, cfg)
+        closure_edges, closures = _closure_edges(images, K, Ts, cfg,
+                                                 depth_maps=depth_maps)
+        Ts = _relocalize(Ts, closures, cfg, K=K, depth_maps=depth_maps)
         # anchored frames can unlock whole pending windows: retry stitching
         # disconnected segments against the updated global frame (iterate —
         # each stitched window may unlock the next)
@@ -189,39 +190,92 @@ def _try_stitch(global_T: dict, local: dict, cfg) -> tuple[bool, float]:
     return True, float(s)
 
 
-def _relocalize(Ts, closures, cfg):
+def closure_metric_magnitude(c, K: np.ndarray,
+                             depth_maps: np.ndarray) -> float | None:
+    """Metric translation magnitude of a verified closure from depth priors.
+
+    The two-view geometry fixes (R_rel, t_dir) up to scale. Triangulating
+    the inlier correspondences with a UNIT baseline gives each match a
+    depth z_unit proportional to the true one: z_metric = |t| * z_unit.
+    With a metric depth map for frame i (the same prior BA consumes,
+    `sfm/ba.py` depth rows), |t| = median(depth(u,v) / z_unit) — closure
+    edges get MEASURED metric translation instead of the drifted estimate
+    (the round-1 gap: `VERDICT.md` item 5).
+
+    Returns None when too few matches carry usable depth (caller falls
+    back to the estimate-derived magnitude)."""
+    import jax.numpy as jnp
+
+    from tpu3drec.sfm.triangulate import projection_matrix, triangulate_two_view
+
+    if len(c.uv_i) < 5:
+        return None
+    Kj = jnp.asarray(K, jnp.float32)
+    P1 = projection_matrix(jnp.eye(3), jnp.zeros(3), Kj)
+    P2 = projection_matrix(jnp.asarray(c.R_rel), jnp.asarray(c.t_dir), Kj)
+    X = np.asarray(triangulate_two_view(P1, P2, jnp.asarray(c.uv_i),
+                                        jnp.asarray(c.uv_j)))
+    z_unit = X[:, 2]
+    dm = depth_maps[c.i]
+    H, W = dm.shape
+    u = np.clip(np.round(c.uv_i[:, 0]).astype(int), 0, W - 1)
+    v = np.clip(np.round(c.uv_i[:, 1]).astype(int), 0, H - 1)
+    d_met = dm[v, u]
+    ok = (z_unit > 1e-6) & (d_met > 1e-6) & np.isfinite(z_unit)
+    if ok.sum() < 5:
+        return None
+    return float(np.median(d_met[ok] / z_unit[ok]))
+
+
+def _relocalize(Ts, closures, cfg, K=None, depth_maps=None):
     """Anchor frames the sequential stitcher could not place using verified
-    closures to localized frames (re-localization): the unlocalized frame is
-    placed at the localized partner's center with the measured relative
-    rotation (a revisit's translation magnitude is unobservable in
-    monocular; for true revisits it is near zero)."""
+    closures to localized frames (re-localization).
+
+    With metric depth priors the full relative pose is observable: the
+    revisited frame is placed at partner_T @ T_rel with the measured
+    rotation AND the depth-recovered metric translation
+    (closure_metric_magnitude) — a revisit offset by metres lands at its
+    true pose. Without depth (pure monocular) the magnitude is
+    unobservable and the frame is placed at the partner's center with the
+    measured relative rotation (exact only for true revisits)."""
     out = list(Ts)
     for c in closures:
         a, b = c.i, c.j
+        mag = 0.0
+        if depth_maps is not None and K is not None:
+            m = closure_metric_magnitude(c, K, depth_maps)
+            if m is not None:
+                mag = m
         # T maps cam_b coords -> cam_a coords (see _closure_edges)
         Rba = c.R_rel.T
+        tba = -Rba @ (c.t_dir * mag)
         if out[a] is not None and out[b] is None:
             T = np.eye(4)
             T[:3, :3] = Rba
+            T[:3, 3] = tba
             out[b] = out[a] @ T
             if cfg.verbose:
-                print(f"[kitti] relocalized frame {b} via closure to {a}")
+                print(f"[kitti] relocalized frame {b} via closure to {a} "
+                      f"(|t|={mag:.2f})")
         elif out[b] is not None and out[a] is None:
             T = np.eye(4)
             T[:3, :3] = Rba.T
+            T[:3, 3] = -Rba.T @ tba
             out[a] = out[b] @ T
             if cfg.verbose:
-                print(f"[kitti] relocalized frame {a} via closure to {b}")
+                print(f"[kitti] relocalized frame {a} via closure to {b} "
+                      f"(|t|={mag:.2f})")
     return out
 
 
-def _closure_edges(images, K, Ts, cfg):
+def _closure_edges(images, K, Ts, cfg, depth_maps=None):
     """Detect loop closures over the whole sequence and convert them to
     pose-graph edges (SURVEY C3: COLMAP's vocab-tree loop detection).
 
-    Closure rotation + bearing come from the verified two-view geometry; the
-    monocular translation magnitude is taken from the current stitched
-    estimate (bearing/rotation drift is what closures correct)."""
+    Closure rotation + bearing come from the verified two-view geometry.
+    The translation magnitude is MEASURED from depth priors when available
+    (closure_metric_magnitude — same priors BA consumes); only the pure-
+    monocular path falls back to the current (drifted) stitched estimate."""
     import jax
     import jax.numpy as jnp
 
@@ -241,14 +295,20 @@ def _closure_edges(images, K, Ts, cfg):
     for c in closures:
         if Ts[c.i] is None or Ts[c.j] is None:
             continue  # edge needs both localized; relocalization handles rest
-        dist = float(np.linalg.norm(Ts[c.j][:3, 3] - Ts[c.i][:3, 3]))
+        dist = None
+        src = "depth"
+        if depth_maps is not None:
+            dist = closure_metric_magnitude(c, K, depth_maps)
+        if dist is None:
+            dist = float(np.linalg.norm(Ts[c.j][:3, 3] - Ts[c.i][:3, 3]))
+            src = "estimate"
         T_rel = np.eye(4)
         T_rel[:3, :3] = c.R_rel.T
         T_rel[:3, 3] = -c.R_rel.T @ (c.t_dir * dist)
         edges.append((c.i, c.j, T_rel, 1.0))
         if cfg.verbose:
             print(f"[kitti] loop closure {c.i}<->{c.j} "
-                  f"({c.n_inliers} inliers, dist {dist:.2f})")
+                  f"({c.n_inliers} inliers, |t| {dist:.2f} from {src})")
     return edges, closures
 
 

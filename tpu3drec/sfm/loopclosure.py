@@ -36,6 +36,10 @@ class LoopClosure(NamedTuple):
     R_rel: np.ndarray   # (3,3) frame_i -> frame_j camera rotation
     t_dir: np.ndarray   # (3,) unit translation direction (scale unknown)
     n_inliers: int
+    uv_i: np.ndarray    # (M,2) inlier pixel coords in frame i — kept so
+    uv_j: np.ndarray    # (M,2) downstream consumers can triangulate and,
+                        # with metric depth, recover the translation
+                        # MAGNITUDE (pipelines/kitti.py metric closures)
 
 
 def global_descriptors(descs: jnp.ndarray, valids: jnp.ndarray) -> jnp.ndarray:
@@ -101,9 +105,11 @@ def detect_loop_closures(
             jnp.asarray(uv1), jnp.asarray(uv2), jnp.asarray(vm), Kj, rngs[p]
         )
         if int(tv.n_inliers) >= min_inliers:
+            inl = np.asarray(tv.inliers) & vm
             closures.append(LoopClosure(
                 i=int(i), j=int(j),
                 R_rel=np.asarray(tv.R), t_dir=np.asarray(tv.t),
                 n_inliers=int(tv.n_inliers),
+                uv_i=uv1[inl].copy(), uv_j=uv2[inl].copy(),
             ))
     return closures
