@@ -205,3 +205,154 @@ class TestTrainStep:
         }
         state, loss, aux = step(state, batch, None)
         assert np.isfinite(float(loss))
+
+
+class TestStereoFrame:
+    """Mono+stereo self-supervision: the "s" frame with the constant
+    known-baseline transform (`ref/monodepth2/mono_dataset.py:203-209`)
+    anchors METRIC scale — the temporal-only photometric loss cannot
+    (depth*s with translation*s is a no-op)."""
+
+    B = 0.5      # exaggerated baseline for strong test-scale gradients
+    CAM = None   # set lazily (scipy import in capture_sim)
+
+    @classmethod
+    def _stereo_setup(cls):
+        from tpu3drec.data.capture_sim import PlanarScene
+        from tpu3drec.utils.config import CameraConfig
+
+        srng = np.random.default_rng(3)
+        scene = PlanarScene.room(srng, n_clutter=4)
+        cam = CameraConfig(fx=80.0, fy=80.0, cx=47.5, cy=31.5,
+                           width=96, height=64)
+        R = np.eye(3, dtype=np.float32)
+        t = np.array([0.0, 0.0, 4.0], np.float32)   # cam at z=-4, looking +z
+        left, depth = scene.render(R, t, cam)
+        right, _ = scene.render(R, t - np.array([cls.B, 0, 0], np.float32), cam)
+        # temporal partner: small sideways motion
+        dt = np.array([0.25, 0.0, 0.0], np.float32)
+        prev, _ = scene.render(R, t - dt, cam)
+        assert (depth > 0).all()   # closed room: every ray hits geometry
+        return cam, left, right, prev, depth, dt
+
+    @staticmethod
+    def _disp_sig_from_depth(depth, min_depth=0.1, max_depth=100.0):
+        """Invert disp_to_depth: sigmoid-disparity encoding a given depth."""
+        min_disp, max_disp = 1.0 / max_depth, 1.0 / min_depth
+        return (1.0 / depth - min_disp) / (max_disp - min_disp)
+
+    def _loss_at_scale(self, s, cam, left, right, prev, depth, dt):
+        """monodepth_loss at depth = s*GT with the temporal translation
+        jointly scaled by s (what a pose net co-adapting with depth does)."""
+        cfg = MonodepthLossConfig(scales=(0,), automask=False,
+                                  fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy)
+        d = jnp.asarray(self._disp_sig_from_depth(s * depth))[None, ..., None]
+        tgt = jnp.asarray(left, jnp.float32)[None] / 255.0
+        # temporal target->source: X_src = X_tgt + (t_src - t_tgt) (R = I)
+        T_prev = jnp.eye(4)[None].at[:, :3, 3].set(jnp.asarray(-dt) * s)
+        # stereo: constant, NOT scaled (the known 0.5 m baseline)
+        T_s = jnp.eye(4)[None].at[:, 0, 3].set(-self.B)
+        src_prev = jnp.asarray(prev, jnp.float32)[None] / 255.0
+        src_s = jnp.asarray(right, jnp.float32)[None] / 255.0
+        mono, _ = monodepth_loss({0: d}, [T_prev], tgt, [src_prev], cfg)
+        both, _ = monodepth_loss({0: d}, [T_prev, T_s], tgt, [src_prev, src_s], cfg)
+        return float(mono), float(both)
+
+    def test_stereo_term_anchors_scale(self):
+        """Temporal-only loss is flat across joint (depth, translation)
+        scaling; adding the stereo frame puts the minimum at s=1."""
+        setup = self._stereo_setup()
+        scales = [0.5, 0.75, 1.0, 1.5, 2.0]
+        mono_l, both_l = zip(*[self._loss_at_scale(s, *setup) for s in scales])
+        # temporal-only: scale-ambiguous (variation well under the stereo
+        # term's; bilinear resampling keeps it from being exactly flat)
+        assert (max(mono_l) - min(mono_l)) < 0.2 * (max(both_l) - min(both_l))
+        # mono+stereo: global minimum at the metric scale
+        assert int(np.argmin(both_l)) == scales.index(1.0)
+
+    def test_stereo_training_resolves_metric_scale(self):
+        """Gradient descent on the mono+stereo loss over a scale parameter
+        converges to metric (median predicted depth ~ GT median WITHOUT
+        median scaling) — the VERDICT item-4 done criterion in its
+        well-conditioned 1-D form."""
+        import optax
+
+        cam, left, right, prev, depth, dt = self._stereo_setup()
+        cfg = MonodepthLossConfig(scales=(0,), automask=False,
+                                  fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy)
+        tgt = jnp.asarray(left, jnp.float32)[None] / 255.0
+        src_s = jnp.asarray(right, jnp.float32)[None] / 255.0
+        src_p = jnp.asarray(prev, jnp.float32)[None] / 255.0
+        gt_depth = jnp.asarray(depth)
+
+        def loss_fn(log_s):
+            s = jnp.exp(log_s)
+            d = self._disp_sig_from_depth(s * gt_depth)[None, ..., None]
+            T_prev = jnp.eye(4)[None].at[:, :3, 3].set(jnp.asarray(-dt) * s)
+            T_s = jnp.eye(4)[None].at[:, 0, 3].set(-self.B)
+            loss, _ = monodepth_loss({0: d}, [T_prev, T_s], tgt,
+                                     [src_p, src_s], cfg)
+            return loss
+
+        grad_fn = jax.jit(jax.grad(loss_fn))
+        gt_median = float(jnp.median(gt_depth))
+        # photometric gradients are local (~1px): start within the basin
+        # from both sides (real training gets the same effect from the
+        # multi-scale pyramid, cfg.scales=(0,1,2,3))
+        for s0 in (0.85, 1.2):
+            tx = optax.adam(0.03)
+            log_s = jnp.asarray(np.log(s0), jnp.float32)
+            opt = tx.init(log_s)
+            for _ in range(60):
+                g = grad_fn(log_s)
+                up, opt = tx.update(g, opt)
+                log_s = optax.apply_updates(log_s, up)
+            s = float(jnp.exp(log_s))
+            pred_median = s * gt_median
+            assert abs(pred_median / gt_median - 1.0) < 0.05, (s0, s)
+
+    @pytest.mark.slow
+    def test_train_step_stereo(self, rng):
+        from tpu3drec.models.training import TrainConfig, init_state, make_train_step
+
+        cfg = TrainConfig(height=H, width=W, use_stereo=True)
+        model, state, tx = init_state(jax.random.PRNGKey(0), cfg, steps_per_epoch=10)
+        step = make_train_step(model, tx, cfg)
+        batch = {
+            "target": jnp.asarray(rng.uniform(size=(1, H, W, 3)).astype(np.float32)),
+            "prev": jnp.asarray(rng.uniform(size=(1, H, W, 3)).astype(np.float32)),
+            "next": jnp.asarray(rng.uniform(size=(1, H, W, 3)).astype(np.float32)),
+            "stereo": jnp.asarray(rng.uniform(size=(1, H, W, 3)).astype(np.float32)),
+            "stereo_sign": jnp.asarray([-1.0], jnp.float32),
+        }
+        state, loss, aux = step(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(loss))
+        assert int(state.step) == 1
+
+    def test_loader_attaches_stereo_frame(self):
+        from tpu3drec.data.datasets import SequenceSpec
+        from tpu3drec.data.loader import TripletLoader
+
+        class StereoDS:
+            def load_color(self, folder, idx, size=None):
+                r = np.random.default_rng(idx)
+                return (r.uniform(size=(16, 24, 3)) * 255).astype(np.uint8)
+
+            def load_stereo_color(self, folder, idx, size=None):
+                r = np.random.default_rng(1000 + idx)
+                return (r.uniform(size=(16, 24, 3)) * 255).astype(np.uint8)
+
+        specs = [SequenceSpec("x", i) for i in (1, 2, 3, 4)]
+        loader = TripletLoader(StereoDS(), specs, batch_size=2, height=16,
+                               width=24, augment=False, with_stereo=True,
+                               prefetch=0)
+        b = next(iter(loader))
+        assert b["stereo"].shape == (2, 16, 24, 3)
+        # no augmentation -> no flips -> left-target sign is always -1
+        np.testing.assert_array_equal(b["stereo_sign"], [-1.0, -1.0])
+        # flipping flips the sign with the images (baseline_sign contract)
+        loader_aug = TripletLoader(StereoDS(), specs, batch_size=4, height=16,
+                                   width=24, augment=True, with_stereo=True,
+                                   seed=5, prefetch=0)
+        ba = next(iter(loader_aug))
+        assert set(np.unique(ba["stereo_sign"])) <= {-1.0, 1.0}

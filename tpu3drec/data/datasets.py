@@ -170,6 +170,13 @@ class KittiRawDataset:
     def load_color(self, folder: str, idx: int, size=None, side=None) -> np.ndarray:
         return load_image_rgb(self.image_path(folder, idx, side), size=size)
 
+    def load_stereo_color(self, folder: str, idx: int, size=None) -> np.ndarray:
+        """Opposite-side partner of the configured side — the "s" frame the
+        reference's stereo-training dataset attaches
+        (`ref/monodepth2/mono_dataset.py:148-151,203-209`)."""
+        other = {"l": "r", "r": "l"}[self.side]
+        return self.load_color(folder, idx, size=size, side=other)
+
 
 class AirSimCaptureDataset:
     """The AirSim capture client's output layout: `front/N.jpg` RGB +

@@ -70,6 +70,7 @@ class TripletLoader:
         augment: bool = True,
         with_gt_pose: bool = False,
         with_gt_depth: bool = False,
+        with_stereo: bool = False,
         seed: int = 0,
         prefetch: int = 2,
     ):
@@ -80,6 +81,15 @@ class TripletLoader:
         self.augment = augment
         self.with_gt_pose = with_gt_pose
         self.with_gt_depth = with_gt_depth
+        # stereo side frame (the reference's "s" frame,
+        # `ref/monodepth2/mono_dataset.py:203-209`): dataset must expose
+        # load_stereo_color(folder, idx, size) returning the right-camera
+        # partner of a left target. batch["stereo_sign"] carries the
+        # baseline sign for the constant stereo transform (-1 normally:
+        # a point in right-cam coords is X_left - [B,0,0]; +1 when the
+        # horizontal flip mirrors the geometry, matching the reference's
+        # baseline_sign flip).
+        self.with_stereo = with_stereo
         self.rng = np.random.default_rng(seed)
         self.prefetch = prefetch
         self.skipped = 0  # unreadable samples dropped (resilience counter)
@@ -92,6 +102,10 @@ class TripletLoader:
         for off, key in ((-1, "prev"), (0, "target"), (1, "next")):
             img = self.ds.load_color(spec.folder, spec.frame_index + off, size=self.size)
             imgs[key] = np.asarray(img, np.float32) / 255.0
+        if self.with_stereo:
+            img = self.ds.load_stereo_color(spec.folder, spec.frame_index,
+                                            size=self.size)
+            imgs["stereo"] = np.asarray(img, np.float32) / 255.0
         flip = self.augment and self.rng.random() > 0.5
         jitter = self.augment and self.rng.random() > 0.5
         if jitter:
@@ -100,6 +114,10 @@ class TripletLoader:
         if flip:
             imgs = {k: v[:, ::-1].copy() for k, v in imgs.items()}
         sample = dict(imgs)
+        if self.with_stereo:
+            # baseline_sign flip of `mono_dataset.py:203-209` (left target):
+            # T_stereo[0,3] = stereo_sign * baseline
+            sample["stereo_sign"] = np.float32(1.0 if flip else -1.0)
         if self.with_gt_pose:
             aa, t = self.ds.gt_relative_pose(spec.folder, spec.frame_index)
             sample["gt_axisangle"] = aa

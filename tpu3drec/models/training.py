@@ -37,6 +37,14 @@ class TrainConfig:
     height: int = 480
     width: int = 640
     use_gt_pose: bool = False          # --use_GTpose
+    # mono+stereo self-supervision: adds the reference's "s" frame with a
+    # constant known-baseline transform (`ref/monodepth2/mono_dataset.py:
+    # 203-209`), which anchors METRIC scale — the temporal-only loss is
+    # scale-ambiguous (depth*s, translation*s is a loss no-op), but the
+    # stereo T's 0.1 m is fixed, so only metric depth warps the stereo
+    # frame correctly.
+    use_stereo: bool = False
+    stereo_baseline: float = 0.1       # metres (`mono_dataset.py:206-208`)
     depth_layers: int = 18
     compute_dtype: str = "float32"     # "bfloat16" puts convs on the bf16 MXU path
     loss: MonodepthLossConfig = None
@@ -101,7 +109,9 @@ def _forward_loss(params, batch_stats, model, batch, cfg: TrainConfig, rng):
     batch keys: "target", "prev", "next"; with use_gt_pose also
     "gt_axisangle" (N,2,3) and "gt_translation" (N,2,3) rows ordered
     [prev, next] like the reference's inputs["axisangle"]
-    (`interior_dataset.py:125-130`).
+    (`interior_dataset.py:125-130`); with use_stereo also "stereo"
+    (N,H,W,3) and "stereo_sign" (N,) in {-1,+1} (flip-dependent baseline
+    sign, `mono_dataset.py:203-209`).
     """
     target, prev, nxt = batch["target"], batch["prev"], batch["next"]
     variables = {"params": params, "batch_stats": batch_stats}
@@ -129,15 +139,31 @@ def _forward_loss(params, batch_stats, model, batch, cfg: TrainConfig, rng):
         T_prev = transformation_from_parameters(*pose_prev, invert=True)
         T_next = transformation_from_parameters(*pose_next, invert=False)
 
+    frame_Ts = [T_prev, T_next]
+    sources = [prev, nxt]
+    if cfg.use_stereo:
+        # constant stereo transform: identity R, baseline along x with the
+        # per-sample flip sign (`mono_dataset.py:203-209`). Pose net never
+        # sees the "s" frame (reference excludes it, `trainer.py:283-289`).
+        N = target.shape[0]
+        T_s = jnp.tile(jnp.eye(4, dtype=target.dtype)[None], (N, 1, 1))
+        T_s = T_s.at[:, 0, 3].set(
+            batch["stereo_sign"].astype(target.dtype) * cfg.stereo_baseline
+        )
+        frame_Ts.append(T_s)
+        sources.append(batch["stereo"])
+
     noise = None
     if rng is not None:
         # the reference's randn*1e-5 automask tiebreak (`trainer.py:475-478`)
         noise = (
-            jax.random.normal(rng, (2,) + target.shape[:-1], dtype=target.dtype)
+            jax.random.normal(
+                rng, (len(sources),) + target.shape[:-1], dtype=target.dtype
+            )
             * 1e-5
         )
     loss, aux = monodepth_loss(
-        disps, [T_prev, T_next], target, [prev, nxt], cfg.loss,
+        disps, frame_Ts, target, sources, cfg.loss,
         identity_noise=noise,
     )
     return loss, (aux, new_model_state["batch_stats"])

@@ -96,7 +96,11 @@ def _cmd_sfm(args):
 
 
 def _cmd_train_mono(args):
-    from tpu3drec.data.datasets import InteriorNetDataset, read_split_file
+    from tpu3drec.data.datasets import (
+        InteriorNetDataset,
+        KittiRawDataset,
+        read_split_file,
+    )
     from tpu3drec.data.loader import TripletLoader
     from tpu3drec.models.training import TrainConfig
     from tpu3drec.pipelines.monocular import MonocularRunConfig, train
@@ -104,14 +108,18 @@ def _cmd_train_mono(args):
     tcfg = TrainConfig(
         height=args.height, width=args.width, batch_size=args.batch_size,
         learning_rate=args.lr, num_epochs=args.epochs,
-        use_gt_pose=args.use_gt_pose,
+        use_gt_pose=args.use_gt_pose, use_stereo=args.use_stereo,
     )
-    ds = InteriorNetDataset(args.data_path)
+    # --use-stereo needs a side-partner frame: KITTI raw layout has one
+    # (image_02/image_03); InteriorNet is monocular-only
+    ds = (KittiRawDataset(args.data_path) if args.use_stereo
+          else InteriorNetDataset(args.data_path))
     train_specs = read_split_file(args.split_train)
     val_specs = read_split_file(args.split_val) if args.split_val else []
     tl = TripletLoader(ds, train_specs, batch_size=args.batch_size,
                        height=args.height, width=args.width,
-                       with_gt_pose=args.use_gt_pose)
+                       with_gt_pose=args.use_gt_pose,
+                       with_stereo=args.use_stereo)
     vl = TripletLoader(ds, val_specs, batch_size=args.batch_size,
                        height=args.height, width=args.width, augment=False,
                        with_gt_depth=True) if val_specs else None
@@ -319,6 +327,10 @@ def main(argv=None):
     q.add_argument("--lr", type=float, default=1e-5)
     q.add_argument("--epochs", type=int, default=20)
     q.add_argument("--use-gt-pose", dest="use_gt_pose", action="store_true")
+    q.add_argument("--use-stereo", dest="use_stereo", action="store_true",
+                   help="mono+stereo self-supervision: adds the 's' frame "
+                        "with the 0.1m-baseline constant transform "
+                        "(metric scale; KITTI raw layout)")
     q.add_argument("--log-dir", dest="log_dir", default="runs/monocular")
     q.set_defaults(fn=_cmd_train_mono)
 
