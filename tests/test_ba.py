@@ -191,3 +191,19 @@ def test_pallas_blocks_path_converges_like_jacfwd(rng):
         cam_params=res_pal.cam_params, points=res_pal.points)))).mean()
     assert r_pal < 1e-2, r_pal
     assert r_pal < max(10 * r_ref, 1e-3)
+
+
+def test_lm_early_exit_gates_iterations():
+    """Noise-free problem starting AT the optimum: the first accepted step
+    yields ~zero relative improvement, so the while_loop must stop after a
+    couple of iterations instead of burning max_lm_iters (VERDICT r1
+    item 8: the done flag has to gate work)."""
+    rng = np.random.default_rng(0)
+    prob, _, _ = _make_problem(rng, noise_px=0.0, perturb=0.0)
+    res = ba_solve(prob, max_lm_iters=40, cg_iters=10)
+    assert int(res.n_iters) <= 5, int(res.n_iters)
+    # and a perturbed problem still converges (exit is not premature)
+    prob2, _, _ = _make_problem(rng, noise_px=0.0, perturb=0.02)
+    res2 = ba_solve(prob2, max_lm_iters=40, cg_iters=15)
+    assert float(res2.final_cost) < 1e-2 * float(res2.initial_cost)
+    assert int(res2.n_iters) < 40

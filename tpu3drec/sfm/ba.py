@@ -182,8 +182,8 @@ def ba_solve(
 
     init_cost = cost_of(p.cam_params, p.points)
 
-    def lm_step(carry, _):
-        cam_params, points, lam, cost, done = carry
+    def lm_step(carry):
+        cam_params, points, lam, cost, done, it = carry
         prob = p._replace(cam_params=cam_params, points=points)
         r = residuals(prob)  # (O,2) or (O,3) with depth rows
         w = p.weight * huber_weights(r, huber_px)  # (O,)
@@ -303,18 +303,28 @@ def ba_solve(
                         jnp.minimum(lam * 5.0, 1e6))
         cost_out = jnp.where(accept, new_cost, cost)
         rel = jnp.abs(cost - cost_out) / jnp.maximum(cost, 1e-12)
-        done = done | (accept & (rel < 1e-7))
-        return (cam_params, points, lam, cost_out, done), cost_out
+        # converged (tiny accepted improvement), at machine-precision cost
+        # (relative improvement is meaningless in float noise there), or
+        # stalled (damping saturated): stop paying for iterations
+        cost_floor = 1e-8 * jnp.maximum(jnp.sum(p.weight), 1.0)
+        done = (done | (accept & (rel < 1e-7)) | (cost_out <= cost_floor)
+                | (~accept & (lam >= 1e6)))
+        return (cam_params, points, lam, cost_out, done, it + 1)
 
-    (cams, pts, _, final_cost, _), _ = jax.lax.scan(
-        lm_step,
+    # early-exit LM (VERDICT r1 item 8: the done flag must gate work —
+    # a while_loop skips the remaining iterations entirely, which at
+    # COLMAP scale is most of the wall time once converged)
+    def lm_cond(carry):
+        *_, done, it = carry
+        return (it < max_lm_iters) & ~done
+
+    (cams, pts, _, final_cost, _, n_it) = jax.lax.while_loop(
+        lm_cond, lm_step,
         (p.cam_params, p.points, jnp.asarray(init_lambda, p.cam_params.dtype),
-         init_cost, jnp.asarray(False)),
-        None,
-        length=max_lm_iters,
+         init_cost, jnp.asarray(False), jnp.asarray(0, jnp.int32)),
     )
     return BAResult(
         cam_params=cams, points=pts,
         initial_cost=init_cost, final_cost=final_cost,
-        n_iters=jnp.asarray(max_lm_iters, jnp.int32),
+        n_iters=n_it,
     )

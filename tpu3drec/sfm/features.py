@@ -142,7 +142,10 @@ def detect_keypoints(
     img: jnp.ndarray,                # (H, W) grayscale float [0,1]
     max_keypoints: int = 1024,
     num_scales: int = 4,
-    threshold: float = 0.01,
+    threshold: float = 0.006,  # COLMAP SiftExtraction.peak_threshold 0.02/3
+                               # (0.01 starved low-contrast scenes: 184/768
+                               # keypoints on the occluded arena, match
+                               # yield collapsed at 2-frame orbit gaps)
     sigma0: float = 1.6,
 ) -> Keypoints:
     """DoG extrema -> top-K keypoints (static K) with orientation."""
@@ -393,7 +396,7 @@ def detect_and_describe_pyramid(
     max_keypoints: int = 1024,
     num_octaves: int = 3,
     num_scales: int = 5,
-    threshold: float = 0.01,
+    threshold: float = 0.006,  # see detect_keypoints: COLMAP peak threshold
     sigma0: float = 1.6,
     upright: bool = False,
     upsample_first: bool = True,

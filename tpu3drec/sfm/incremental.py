@@ -154,7 +154,12 @@ def run_sfm(
     tv_rngs = jax.random.split(rngs[F + 1], len(pairs))
     tv = jax.vmap(
         lambda a, b, v, r: estimate_relative_pose(a, b, v, jnp.asarray(rec.K), r,
-                                                  inlier_px=3.0)
+                                                  inlier_px=1.5)
+        # 1.5px, not looser: a 3px epipolar gate admits enough
+        # near-epipolar mismatches that LO-RANSAC locks onto wrong-basin
+        # solutions on low-parallax pairs (measured: 30 deg rotation error
+        # at 3px vs 1.6 deg at 1.5px on the arena orbit), and the
+        # "verified" match set then poisons track building
     )(uv_a, uv_b, m.valid, tv_rngs)
     geo_valid = np.asarray(m.valid & tv.inliers)
     geo_n = np.asarray(tv.n_inliers)
@@ -180,10 +185,15 @@ def run_sfm(
     if verbose:
         print(f"[sfm] {len(tracks)} tracks from {len(pair_matches)} pairs")
 
-    # 3. two-view initialization: widest well-conditioned pair (i, j) with
-    # frame 0 (COLMAP-style: enough matches AND enough triangulation angle,
-    # colmap使用.docx §2.4's init heuristic rebuilt)
+    # 3. two-view initialization: best-supported pair (0, k) by inlier
+    # count (COLMAP-style init scoring, colmap使用.docx §2.4). Widest-first
+    # selection is a trap on wide-baseline video: the widest pair has the
+    # FEWEST (and dirtiest) matches, and a near-degenerate estimate with
+    # 50% "inliers" of a wrong-basin solution poisons every later frame
+    # (measured on the orbit arena: gap-3 init at 17/32 inliers gave a
+    # near-identity rotation; gap-2 with 51 inliers is sub-2-degree).
     init_pair = None
+    best_score = 0
     for k in range(min(overlap, F - 1), 0, -1):
         if (0, k) not in pair_matches:
             continue
@@ -200,10 +210,13 @@ def run_sfm(
             jnp.asarray(uv1), jnp.asarray(uv2), jnp.asarray(vmask),
             jnp.asarray(rec.K), rngs[0],
         )
-        if int(tv.n_inliers) < max(12, int(0.5 * len(ia))):
+        n_inl = int(tv.n_inliers)
+        if n_inl < max(12, int(0.5 * len(ia))):
             continue
-        init_pair = (k, np.asarray(tv.R), np.asarray(tv.t))
-        break
+        # wider pairs win ties (more triangulation angle per inlier)
+        if n_inl > best_score:
+            best_score = n_inl
+            init_pair = (k, np.asarray(tv.R), np.asarray(tv.t))
     if init_pair is None:
         raise ValueError("no pair with enough matches to initialize")
     k, R1, t1 = init_pair
