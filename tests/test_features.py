@@ -261,3 +261,53 @@ class TestBatchedPallasMatcher:
         np.testing.assert_array_equal(np.asarray(m_x.valid), np.asarray(m_p.valid))
         v = np.asarray(m_x.valid)
         np.testing.assert_array_equal(np.asarray(m_x.idx_b)[v], np.asarray(m_p.idx_b)[v])
+
+
+class TestKbTiledMatcher:
+    """Reference-side (Kb) tiling: K=16k descriptor sets stream through
+    bounded VMEM tiles with a running top-2 merge (VERDICT r1 item 10).
+    The merge path must be bit-equal to the untiled formulation."""
+
+    def test_large_kb_matches_xla_reference(self, rng):
+        from tpu3drec.ops.matcher import TILE_B, topk2_scores
+
+        Ka, Kb, D = 256, 2 * TILE_B + 300, 32  # 3 tiles, last one ragged
+        a = rng.normal(size=(Ka, D)).astype(np.float32)
+        b = rng.normal(size=(Kb, D)).astype(np.float32)
+        a /= np.linalg.norm(a, axis=1, keepdims=True)
+        b /= np.linalg.norm(b, axis=1, keepdims=True)
+        valid_b = np.ones(Kb, bool)
+        valid_b[rng.random(Kb) < 0.1] = False
+        best, top2 = topk2_scores(jnp.asarray(a), jnp.asarray(b),
+                                  jnp.asarray(valid_b))
+        scores = a @ b.T
+        scores[:, ~valid_b] = -np.inf
+        np.testing.assert_array_equal(np.asarray(best), scores.argmax(1))
+        ref_sorted = np.sort(scores, axis=1)
+        np.testing.assert_allclose(np.asarray(top2)[:, 0], ref_sorted[:, -1],
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(top2)[:, 1], ref_sorted[:, -2],
+                                   atol=1e-5)
+
+    def test_large_kb_batched(self, rng):
+        from tpu3drec.ops.matcher import TILE_B, topk2_scores_batched
+
+        P, Ka, Kb, D = 2, 128, TILE_B + 64, 16
+        a = rng.normal(size=(P, Ka, D)).astype(np.float32)
+        b = rng.normal(size=(P, Kb, D)).astype(np.float32)
+        a /= np.linalg.norm(a, axis=-1, keepdims=True)
+        b /= np.linalg.norm(b, axis=-1, keepdims=True)
+        valid_b = np.ones((P, Kb), bool)
+        valid_b[0, -100:] = False
+        best, top2 = topk2_scores_batched(jnp.asarray(a), jnp.asarray(b),
+                                          jnp.asarray(valid_b))
+        for p in range(P):
+            scores = a[p] @ b[p].T
+            scores[:, ~valid_b[p]] = -np.inf
+            np.testing.assert_array_equal(np.asarray(best)[p],
+                                          scores.argmax(1))
+            ref_sorted = np.sort(scores, axis=1)
+            np.testing.assert_allclose(np.asarray(top2)[p, :, 0],
+                                       ref_sorted[:, -1], atol=1e-5)
+            np.testing.assert_allclose(np.asarray(top2)[p, :, 1],
+                                       ref_sorted[:, -2], atol=1e-5)
