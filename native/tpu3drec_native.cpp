@@ -20,6 +20,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <iterator>
 #include <vector>
 
 namespace {
@@ -42,16 +43,23 @@ inline uint64_t morton3(uint64_t x, uint64_t y, uint64_t z) {
 }
 
 struct Frame {
-  size_t lo, hi;
-  int bit;  // child bit level
+  size_t lo, hi;      // occupied-morton range
+  size_t lo_f, hi_f;  // free-morton range
+  int bit;            // child bit level
 };
 
-// Preorder DFS over sorted unique morton codes -> .bt payload + node count.
-int64_t build_nodes(const std::vector<uint64_t>& m, std::vector<uint8_t>* out) {
-  if (m.empty()) return 0;
+// Preorder DFS over sorted unique morton codes (occupied + optional free
+// set) -> .bt payload + node count. A child subtree holding its full 8^b
+// voxel complement of ONE label prunes to a single leaf of that label
+// (octomap prune() semantics); mixed subtrees recurse as inner (0b11).
+// Mirrors tpu3drec/mapping/btio.py::_build_nodes.
+int64_t build_nodes(const std::vector<uint64_t>& m,
+                    const std::vector<uint64_t>& mf,
+                    std::vector<uint8_t>* out) {
+  if (m.empty() && mf.empty()) return 0;
   int64_t n_nodes = 1;  // root
   std::vector<Frame> stack;
-  stack.push_back({0, m.size(), kTreeDepth - 1});
+  stack.push_back({0, m.size(), 0, mf.size(), kTreeDepth - 1});
   std::vector<Frame> children;
   children.reserve(8);
   while (!stack.empty()) {
@@ -59,26 +67,38 @@ int64_t build_nodes(const std::vector<uint64_t>& m, std::vector<uint8_t>* out) {
     stack.pop_back();
     const uint64_t node_size = 1ULL << (3 * (f.bit + 1));
     const uint64_t child_size = 1ULL << (3 * f.bit);
-    const uint64_t start = m[f.lo] & ~(node_size - 1);
+    const uint64_t any_code = f.hi > f.lo ? m[f.lo] : mf[f.lo_f];
+    const uint64_t start = any_code & ~(node_size - 1);
     uint8_t byte0 = 0, byte1 = 0;
     children.clear();
-    size_t lo = f.lo;
+    size_t lo = f.lo, lo_f = f.lo_f;
     for (int i = 0; i < 8; ++i) {
       const uint64_t hi_code = start + child_size * (uint64_t)(i + 1);
       size_t hi = std::lower_bound(m.begin() + lo, m.begin() + f.hi, hi_code) -
                   m.begin();
-      const size_t cnt = hi - lo;
-      if (cnt) {
+      size_t hi_f = std::lower_bound(mf.begin() + lo_f, mf.begin() + f.hi_f,
+                                     hi_code) -
+                    mf.begin();
+      const size_t co = hi - lo;
+      const size_t cf = hi_f - lo_f;
+      if (co || cf) {
         ++n_nodes;
-        const bool leaf = cnt == child_size;  // full subtree (or bit==0 voxel)
-        const uint8_t bits = leaf ? 0b01 : 0b11;
+        uint8_t bits;
+        if (cf == 0 && co == child_size) {
+          bits = 0b01;  // full occupied subtree -> occupied leaf
+        } else if (co == 0 && cf == child_size) {
+          bits = 0b10;  // full free subtree -> free leaf
+        } else {
+          bits = 0b11;
+          children.push_back({lo, hi, lo_f, hi_f, f.bit - 1});
+        }
         if (i < 4)
           byte0 |= bits << (2 * i);
         else
           byte1 |= bits << (2 * (i - 4));
-        if (!leaf) children.push_back({lo, hi, f.bit - 1});
       }
       lo = hi;
+      lo_f = hi_f;
     }
     out->push_back(byte0);
     out->push_back(byte1);
@@ -96,6 +116,41 @@ static void shortest_double(double v, char* buf, size_t n) {
     std::snprintf(buf, n, "%.*g", prec, v);
     if (std::strtod(buf, nullptr) == v) return;
   }
+}
+
+// Sorted unique morton codes from signed int32 voxel keys; returns false if
+// any key leaves the depth-16 range.
+bool keys_to_morton(const int32_t* keys, int64_t n, std::vector<uint64_t>* m) {
+  m->reserve((size_t)n);
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t kx = (int64_t)keys[3 * i + 0] + kKeyOffset;
+    int64_t ky = (int64_t)keys[3 * i + 1] + kKeyOffset;
+    int64_t kz = (int64_t)keys[3 * i + 2] + kKeyOffset;
+    if ((uint64_t)kx > 0xFFFF || (uint64_t)ky > 0xFFFF || (uint64_t)kz > 0xFFFF)
+      return false;
+    m->push_back(morton3((uint64_t)kx, (uint64_t)ky, (uint64_t)kz));
+  }
+  std::sort(m->begin(), m->end());
+  m->erase(std::unique(m->begin(), m->end()), m->end());
+  return true;
+}
+
+int64_t write_bt_file(const char* path, const std::vector<uint8_t>& payload,
+                      int64_t n_nodes, double res) {
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return -1;
+  char res_str[32];
+  shortest_double(res, res_str, sizeof(res_str));
+  std::fprintf(f,
+               "# Octomap OcTree binary file\n"
+               "# (feel free to add / change comments, but leave the first "
+               "line as it is!)\n#\n"
+               "id OcTree\nsize %lld\nres %s\ndata\n",
+               (long long)n_nodes, res_str);
+  if (!payload.empty())
+    std::fwrite(payload.data(), 1, payload.size(), f);
+  std::fclose(f);
+  return n_nodes;
 }
 
 }  // namespace
@@ -123,56 +178,45 @@ int64_t tpu3drec_bt_write_points(const char* path, const float* points,
 
   std::vector<uint8_t> payload;
   payload.reserve(m.size() * 4);
-  const int64_t n_nodes = build_nodes(m, &payload);
-
-  FILE* f = std::fopen(path, "wb");
-  if (!f) return -1;
-  char res_str[32];
-  shortest_double(res, res_str, sizeof(res_str));
-  std::fprintf(f,
-               "# Octomap OcTree binary file\n"
-               "# (feel free to add / change comments, but leave the first "
-               "line as it is!)\n#\n"
-               "id OcTree\nsize %lld\nres %s\ndata\n",
-               (long long)n_nodes, res_str);
-  if (!payload.empty())
-    std::fwrite(payload.data(), 1, payload.size(), f);
-  std::fclose(f);
-  return n_nodes;
+  const std::vector<uint64_t> no_free;
+  const int64_t n_nodes = build_nodes(m, no_free, &payload);
+  return write_bt_file(path, payload, n_nodes, res);
 }
 
 // Signed int32 voxel keys (floor(p/res) convention) variant.
 int64_t tpu3drec_bt_write_keys(const char* path, const int32_t* keys,
                                int64_t n, double res) {
   std::vector<uint64_t> m;
-  m.reserve((size_t)n);
-  for (int64_t i = 0; i < n; ++i) {
-    int64_t kx = (int64_t)keys[3 * i + 0] + kKeyOffset;
-    int64_t ky = (int64_t)keys[3 * i + 1] + kKeyOffset;
-    int64_t kz = (int64_t)keys[3 * i + 2] + kKeyOffset;
-    if ((uint64_t)kx > 0xFFFF || (uint64_t)ky > 0xFFFF || (uint64_t)kz > 0xFFFF)
-      return -2;
-    m.push_back(morton3((uint64_t)kx, (uint64_t)ky, (uint64_t)kz));
-  }
-  std::sort(m.begin(), m.end());
-  m.erase(std::unique(m.begin(), m.end()), m.end());
+  if (!keys_to_morton(keys, n, &m)) return -2;
   std::vector<uint8_t> payload;
   payload.reserve(m.size() * 4);
-  const int64_t n_nodes = build_nodes(m, &payload);
-  FILE* f = std::fopen(path, "wb");
-  if (!f) return -1;
-  char res_str[32];
-  shortest_double(res, res_str, sizeof(res_str));
-  std::fprintf(f,
-               "# Octomap OcTree binary file\n"
-               "# (feel free to add / change comments, but leave the first "
-               "line as it is!)\n#\n"
-               "id OcTree\nsize %lld\nres %s\ndata\n",
-               (long long)n_nodes, res_str);
-  if (!payload.empty())
-    std::fwrite(payload.data(), 1, payload.size(), f);
-  std::fclose(f);
-  return n_nodes;
+  const std::vector<uint64_t> no_free;
+  const int64_t n_nodes = build_nodes(m, no_free, &payload);
+  return write_bt_file(path, payload, n_nodes, res);
+}
+
+// Occupied + carved-free variant (occupancy pipeline): free leaves encode
+// 0b10 child codes (octomap writeBinaryNode). A key present in both sets is
+// written occupied (callers dedup; occupied wins, matching log-odds fusion
+// saturated at the clamp).
+int64_t tpu3drec_bt_write_keys_free(const char* path, const int32_t* keys,
+                                    int64_t n, const int32_t* free_keys,
+                                    int64_t n_free, double res) {
+  std::vector<uint64_t> m, mf;
+  if (!keys_to_morton(keys, n, &m)) return -2;
+  if (!keys_to_morton(free_keys, n_free, &mf)) return -2;
+  if (!m.empty() && !mf.empty()) {
+    // occupied wins: remove any free code that is also occupied
+    std::vector<uint64_t> mf2;
+    mf2.reserve(mf.size());
+    std::set_difference(mf.begin(), mf.end(), m.begin(), m.end(),
+                        std::back_inserter(mf2));
+    mf.swap(mf2);
+  }
+  std::vector<uint8_t> payload;
+  payload.reserve((m.size() + mf.size()) * 4);
+  const int64_t n_nodes = build_nodes(m, mf, &payload);
+  return write_bt_file(path, payload, n_nodes, res);
 }
 
 // Fast ASCII PLY writer: %.4f coordinates (reference float_formatter,

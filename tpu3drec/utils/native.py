@@ -50,6 +50,14 @@ def _load():
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int64, ctypes.c_double,
         ]
+        # free-leaf variant may be absent in a stale .so (pre-r2 build)
+        if hasattr(lib, "tpu3drec_bt_write_keys_free"):
+            lib.tpu3drec_bt_write_keys_free.restype = ctypes.c_int64
+            lib.tpu3drec_bt_write_keys_free.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int64, ctypes.c_double,
+            ]
         lib.tpu3drec_ply_write_ascii.restype = ctypes.c_int
         lib.tpu3drec_ply_write_ascii.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
@@ -82,15 +90,26 @@ def bt_write_points(path: str, points: np.ndarray, res: float) -> int | None:
     return int(n)
 
 
-def bt_write_keys(path: str, keys: np.ndarray, res: float) -> int | None:
+def bt_write_keys(path: str, keys: np.ndarray, res: float,
+                  free_keys: np.ndarray | None = None) -> int | None:
     lib = _load()
     if lib is None:
         return None
     k = np.ascontiguousarray(keys, dtype=np.int32)
-    n = lib.tpu3drec_bt_write_keys(
-        path.encode(), k.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        k.shape[0], float(res),
-    )
+    if free_keys is not None:
+        if not hasattr(lib, "tpu3drec_bt_write_keys_free"):
+            return None  # stale .so without the free-leaf entry point
+        fk = np.ascontiguousarray(free_keys, dtype=np.int32)
+        n = lib.tpu3drec_bt_write_keys_free(
+            path.encode(), k.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            k.shape[0], fk.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            fk.shape[0], float(res),
+        )
+    else:
+        n = lib.tpu3drec_bt_write_keys(
+            path.encode(), k.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            k.shape[0], float(res),
+        )
     if n == -2:
         raise ValueError("voxel keys exceed octomap depth-16 key range")
     if n < 0:
