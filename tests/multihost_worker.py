@@ -1,0 +1,83 @@
+"""Worker process for the 2-process jax.distributed test
+(tests/test_multihost.py). Each invocation is ONE host: it initializes the
+distributed runtime against the shared coordinator, proves a cross-process
+collective works (psum over the 2-device global mesh), and writes its shard
+of the PLY/.bt artifacts; process 0 merges.
+
+Usage: python tests/multihost_worker.py <coordinator> <nproc> <pid> <outdir>
+"""
+
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # before any device use
+jax.config.update("jax_num_cpu_devices", 1)
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    coord, nproc, pid, outdir = (
+        sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    mode = sys.argv[5] if len(sys.argv) > 5 else "writers"
+
+    from tpu3drec.parallel.multihost import (
+        barrier,
+        init_distributed,
+        process_slice,
+        write_bt_sharded,
+        write_ply_sharded,
+    )
+
+    assert init_distributed(coord, nproc, pid)
+    if mode == "rgbd":
+        # the real pipeline, frame-sharded across processes: cfg json is
+        # prepared by the parent; out paths land in outdir
+        import json
+
+        from tpu3drec.pipelines import rgbd
+        from tpu3drec.utils.config import RGBDPipelineConfig, from_dict
+
+        with open(outdir + "/cfg.json") as f:
+            cfg = from_dict(RGBDPipelineConfig, json.load(f))
+        res = rgbd.run(cfg)
+        barrier("done")
+        print(f"WORKER_OK pid={pid} frames={res.n_frames} "
+              f"voxels={res.n_voxels}")
+        return
+    assert jax.process_count() == nproc, jax.process_count()
+    assert len(jax.devices()) == nproc  # global device view
+
+    # cross-process collective: each process contributes (pid+1); the
+    # replicated global sum must see every host's shard
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()), ("d",))
+    local = np.full((1,), jax.process_index() + 1.0, np.float32)
+    garr = multihost_utils.host_local_array_to_global_array(
+        local, mesh, P("d"))
+    total = jax.jit(
+        jnp.sum, out_shardings=NamedSharding(mesh, P()))(garr)
+    val = float(np.asarray(jax.device_get(total)))
+    expect = nproc * (nproc + 1) / 2
+    assert val == expect, (val, expect)
+
+    # sharded artifact writers: each host writes only its slice
+    N = 10
+    pts = np.arange(N * 3, dtype=np.float32).reshape(N, 3)
+    sl = process_slice(N)
+    write_ply_sharded(outdir + "/cloud.ply", pts[sl])
+
+    keys = np.stack(
+        [np.arange(N), np.zeros(N), np.zeros(N)], axis=1).astype(np.int32)
+    write_bt_sharded(outdir + "/map.bt", keys[sl], 0.5)
+
+    barrier("done")
+    print(f"WORKER_OK pid={pid} psum={val}")
+
+
+if __name__ == "__main__":
+    main()

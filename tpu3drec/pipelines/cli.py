@@ -281,6 +281,16 @@ def main(argv=None):
         pass
 
     p = argparse.ArgumentParser(prog="tpu3drec")
+    # multi-host runtime (SURVEY §5.8): on a TPU pod slice --distributed
+    # alone discovers the topology; elsewhere pass the coordinator triple.
+    # Every process runs the same command; sharded writers emit one
+    # coherent artifact set (parallel/multihost.py).
+    p.add_argument("--distributed", action="store_true",
+                   help="initialize jax.distributed (multi-host pod run)")
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 (non-TPU clusters)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     sub = p.add_subparsers(dest="cmd", required=True)
 
     q = sub.add_parser("rgbd", help="depth + poses -> fused map")
@@ -379,6 +389,11 @@ def main(argv=None):
     q.set_defaults(fn=_cmd_ply2bt)
 
     args = p.parse_args(argv)
+    if args.distributed or args.coordinator:
+        from tpu3drec.parallel.multihost import init_distributed
+
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id)
     return args.fn(args)
 
 

@@ -71,9 +71,18 @@ def fuse_arrays(
 
 
 def run(cfg: RGBDPipelineConfig) -> RGBDResult:
-    """Execute the pipeline from on-disk inputs, per the reference contract."""
+    """Execute the pipeline from on-disk inputs, per the reference contract.
+
+    Multi-host: when `jax.distributed` is live (CLI --distributed), each
+    process decodes and fuses only its contiguous frame shard and the
+    artifact writers merge per-host parts into the single deliverable —
+    frame decode, unprojection, and dedup all scale with host count."""
     t0 = time.time()
     records = read_pose_txt(cfg.pose_file)
+    if jax.process_count() > 1:
+        from tpu3drec.parallel.multihost import process_slice
+
+        records = records[process_slice(len(records))]
     depth_paths = [os.path.join(cfg.depth_dir, r.image_name) for r in records]
     depths = load_depth_stack(
         depth_paths,
@@ -113,6 +122,8 @@ def run_arrays(
     t0 = time.time()
     pts, valid = fuse_arrays(depths, q_xyzw, t, cfg)
 
+    multihost = jax.process_count() > 1
+
     n_voxels = 0
     if cfg.out_bt:
         keys = voxelize(pts, cfg.map.voxel_res)
@@ -120,7 +131,15 @@ def run_arrays(
         skeys_h = np.asarray(skeys)
         mask_h = np.asarray(mask)
         n_voxels = int(count)
-        write_bt(cfg.out_bt, skeys_h[mask_h], cfg.map.voxel_res)
+        if multihost:
+            from tpu3drec.parallel.multihost import write_bt_sharded
+
+            n = write_bt_sharded(cfg.out_bt, skeys_h[mask_h],
+                                 cfg.map.voxel_res)
+            if n >= 0:
+                n_voxels = n  # process 0: post-union global count
+        else:
+            write_bt(cfg.out_bt, skeys_h[mask_h], cfg.map.voxel_res)
 
     pts_h = np.asarray(pts)
     valid_h = np.asarray(valid)
@@ -133,7 +152,14 @@ def run_arrays(
         if cloud_rgb is not None:
             cloud_rgb = cloud_rgb[: cfg.map.max_points]
     if cfg.out_ply:
-        write_ply(cfg.out_ply, cloud, colors=cloud_rgb, binary=cfg.map.ply_binary)
+        if multihost:
+            from tpu3drec.parallel.multihost import write_ply_sharded
+
+            write_ply_sharded(cfg.out_ply, cloud, colors=cloud_rgb,
+                              binary=cfg.map.ply_binary)
+        else:
+            write_ply(cfg.out_ply, cloud, colors=cloud_rgb,
+                      binary=cfg.map.ply_binary)
 
     return RGBDResult(
         n_frames=int(depths.shape[0]),
