@@ -3,11 +3,15 @@ reference-equivalent CPU pipeline (self-baseline, see BASELINE.md — the
 reference publishes no numbers).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
 `vs_baseline` is the speedup over the faithful CPU reimplementation of the
 reference's per-pixel loops (`baseline/reference_cpu.py`), measured on this
-same machine. Target from BASELINE.json: >= 10x.
+same machine (median of 5 frames — the round-1 best-of-2 denominator was
+CPU-noise-limited, VERDICT r1 weak-item 6). `extra` carries the wider
+kernel-family numbers (matcher, BA, training step) so the driver-captured
+record exercises more than fusion (VERDICT r1 item 9); each is best-effort
+and reported as null on failure so the headline metric always lands.
 """
 
 from __future__ import annotations
@@ -51,14 +55,14 @@ def main() -> None:
     Rs, tc2w = cam_to_world_arrays(qs.astype(np.float32), ts)
     Rs_d, ts_d = jnp.asarray(Rs), jnp.asarray(tc2w)
 
-    # --- baseline: reference-equivalent CPU loops, best of 2 frames
-    # (conservative: favors the baseline) ---
-    baseline_s_per_frame = float("inf")
-    for rep in range(2):
+    # --- baseline: reference-equivalent CPU loops, median of 5 frames ---
+    times = []
+    for rep in range(5):
         t0 = time.perf_counter()
-        cam_pts = gentxtcord_equiv(depths[0, rep], FX, FY, CX, CY)
-        world_transform_equiv(cam_pts, qs[rep], ts[rep])
-        baseline_s_per_frame = min(baseline_s_per_frame, time.perf_counter() - t0)
+        cam_pts = gentxtcord_equiv(depths[0, rep % F], FX, FY, CX, CY)
+        world_transform_equiv(cam_pts, qs[rep % F], ts[rep % F])
+        times.append(time.perf_counter() - t0)
+    baseline_s_per_frame = float(np.median(times))
 
     # --- TPU path: fused unprojection + voxel dedup, device-resident ---
     # Chained through the previous step's output so the runtime cannot elide
@@ -87,9 +91,18 @@ def main() -> None:
     tpu_fps = (N_BATCHES * F) / best
     baseline_fps = 1.0 / baseline_s_per_frame
 
-    # secondary diagnostics on stderr (stdout stays ONE json line)
-    if os.environ.get("BENCH_ALL"):
-        _bench_training(sys.stderr)
+    # wider kernel-family numbers, folded into the SAME json line
+    extra = {}
+    for name, fn in (
+        ("matcher_pairs_per_s", _bench_matcher),
+        ("ba_iter_ms", _bench_ba),
+        ("train_examples_per_s", _bench_training),
+    ):
+        try:
+            extra[name] = round(fn(sys.stderr), 2)
+        except Exception as e:  # never let a diagnostic sink the headline
+            print(f"[bench] {name} failed: {e}", file=sys.stderr)
+            extra[name] = None
 
     print(
         json.dumps(
@@ -98,13 +111,94 @@ def main() -> None:
                 "value": round(tpu_fps, 2),
                 "unit": "frames/s (480x640, unproject+world+voxel-dedup)",
                 "vs_baseline": round(tpu_fps / baseline_fps, 2),
+                "extra": extra,
             }
         )
     )
 
 
-def _bench_training(out) -> None:
-    """Monodepth training-step throughput (BENCH_ALL=1 diagnostic)."""
+def _bench_matcher(out) -> float:
+    """Batched descriptor matching: verified-pair throughput (pairs/s) at
+    P=8 pairs x K=4096 descriptors x D=128 (the SfM front-end hot loop)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu3drec.sfm.matching import match_pairs
+    from tpu3drec.utils.profiling import time_chained
+
+    P, K, D = 8, 4096, 128
+    rng = np.random.default_rng(1)
+    descs = rng.normal(size=(P + 1, K, D)).astype(np.float32)
+    descs /= np.linalg.norm(descs, axis=-1, keepdims=True)
+    descs_d = jnp.asarray(descs)
+    valid = jnp.ones((P + 1, K), bool)
+    pairs = jnp.asarray([[i, i + 1] for i in range(P)], jnp.int32)
+
+    fn = jax.jit(lambda d: match_pairs(d, valid, pairs).idx_a.sum())
+
+    def one(x):
+        return fn(descs_d + x * jnp.float32(1e-12)).astype(jnp.float32)
+
+    dt = time_chained(one, jnp.float32(0), iters=8, warmup=2)
+    print(f"matcher: {P / dt:.1f} pairs/s ({dt*1e3:.2f} ms / {P} pairs "
+          f"@ K={K})", file=out)
+    return P / dt
+
+
+def _bench_ba(out) -> float:
+    """Schur-complement BA: wall-time per LM iteration at a mid-size
+    window (64 cams, 8k landmarks, 64k obs). The COLMAP-scale run (200
+    cams / 50k lm / 200k obs) lives in tools/ba_scale_bench.py."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu3drec.sfm.ba import BAProblem, ba_solve
+
+    from tpu3drec.sfm.ba import residuals as ba_residuals
+
+    F, L, O = 64, 8192, 65536
+    rng = np.random.default_rng(2)
+    K = jnp.asarray([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]],
+                    jnp.float32)
+    # consistent geometry (observations = projections + noise) so LM does
+    # real accepted iterations instead of reject-thrashing on garbage
+    cam_params = rng.normal(0, 0.05, (F, 6)).astype(np.float32)
+    cam_params[:, 5] += np.linspace(0, 5, F)
+    points = rng.uniform([-5, -5, 8], [5, 5, 30], (L, 3)).astype(np.float32)
+    cam_idx = rng.integers(0, F, O).astype(np.int32)
+    pt_idx = rng.integers(0, L, O).astype(np.int32)
+    clean = BAProblem(
+        cam_params=jnp.asarray(cam_params), points=jnp.asarray(points),
+        cam_idx=jnp.asarray(cam_idx), pt_idx=jnp.asarray(pt_idx),
+        uv=jnp.zeros((O, 2), jnp.float32), weight=jnp.ones(O, jnp.float32),
+        K=K,
+    )
+    # np.array (copy): np.asarray of a device array is a read-only view
+    uv = np.array(ba_residuals(clean))  # projections (uv=0 => r=proj-0)
+    uv += rng.normal(0, 1.0, uv.shape).astype(np.float32)
+    prob = clean._replace(
+        uv=jnp.asarray(uv),
+        cam_params=jnp.asarray(
+            cam_params + rng.normal(0, 0.01, (F, 6)).astype(np.float32)),
+    )
+    n_iters = 8
+    res = ba_solve(prob, max_lm_iters=n_iters, cg_iters=10)  # compile
+    jax.block_until_ready(res.cam_params)
+    t0 = time.perf_counter()
+    res = ba_solve(prob._replace(
+        cam_params=prob.cam_params
+        + jnp.minimum(res.final_cost, 1.0) * 1e-9),
+        max_lm_iters=n_iters, cg_iters=10)
+    jax.block_until_ready(res.cam_params)
+    dt = time.perf_counter() - t0
+    it = max(int(res.n_iters), 1)
+    print(f"ba: {dt / it * 1e3:.1f} ms/LM-iter ({it} iters, F={F} L={L} "
+          f"O={O}, cg=10)", file=out)
+    return dt / it * 1e3
+
+
+def _bench_training(out) -> float:
+    """Monodepth training-step throughput (examples/s)."""
     import jax
     import jax.numpy as jnp
 
@@ -132,6 +226,7 @@ def _bench_training(out) -> None:
         f"({dt*1e3:.2f} ms/step, batch {B} @ {H}x{W})",
         file=out,
     )
+    return B / dt
 
 
 if __name__ == "__main__":
