@@ -65,44 +65,44 @@ def main() -> None:
     baseline_s_per_frame = float(np.median(times))
 
     # --- TPU path: fused unprojection + voxel dedup, device-resident ---
-    # Chained through the previous step's output so the runtime cannot elide
-    # or overlap identical dispatches: every iteration genuinely executes.
-    @jax.jit
-    def step(d, R, t, c0):
-        pts, valid = fuse_depth_maps(
-            d + c0 * 1e-12, R, t, FX, FY, CX, CY, min_depth=1e-3
-        )
-        keys = voxelize(pts, 0.1)
-        _, mask, count = unique_voxels(keys, valid)
-        return count.astype(jnp.float32)
+    # Timed with the slope method (`time_device_loop`): the relay runtime
+    # memoizes dispatches on bf16-truncated content hashes and adds
+    # 35-80 ms of noisy overhead to every cache miss, so host-loop
+    # chained timing measures either the cache or the relay (design.md
+    # §6). Each in-loop iteration rolls the depth stack — a bf16-visibly
+    # different fusion problem every time.
+    from tpu3drec.utils.profiling import time_device_loop
 
     d_dev = jnp.asarray(depths[0])
-    c = step(d_dev, Rs_d, ts_d, jnp.float32(0))  # compile
-    c.block_until_ready()
 
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(N_BATCHES):
-            c = step(d_dev, Rs_d, ts_d, c)
-        c.block_until_ready()
-        best = min(best, time.perf_counter() - t0)
-    assert float(c) > 0
-    tpu_fps = (N_BATCHES * F) / best
+    def body(i, carry):
+        c, acc = carry
+        d = jnp.roll(d_dev, i + 1, axis=1) * (1.0 + c * 0)
+        pts, valid = fuse_depth_maps(
+            d, Rs_d, ts_d, FX, FY, CX, CY, min_depth=1e-3)
+        keys = voxelize(pts, 0.1)
+        _, mask, count = unique_voxels(keys, valid)
+        return c, acc + count.astype(jnp.float32)
+
+    per_iter = time_device_loop(
+        body,
+        lambda salt: (jnp.float32(1.0 + 0.03 * salt), jnp.float32(0)),
+        iters=(2, 10),
+    )
+    tpu_fps = F / per_iter
     baseline_fps = 1.0 / baseline_s_per_frame
 
-    # wider kernel-family numbers, folded into the SAME json line
+    # wider kernel-family numbers, folded into the SAME json line. Each
+    # runs in a FRESH subprocess: this container's relay runtime gains
+    # per-dispatch overhead with process dispatch history (measured: the
+    # identical train step is 2.7 ms in a fresh process, 22 ms after one
+    # prior bench, 150 ms after the fusion bench — design.md §6), so
+    # in-process numbers after the headline would measure relay state,
+    # not the hardware.
     extra = {}
-    for name, fn in (
-        ("matcher_pairs_per_s", _bench_matcher),
-        ("ba_iter_ms", _bench_ba),
-        ("train_examples_per_s", _bench_training),
-    ):
-        try:
-            extra[name] = round(fn(sys.stderr), 2)
-        except Exception as e:  # never let a diagnostic sink the headline
-            print(f"[bench] {name} failed: {e}", file=sys.stderr)
-            extra[name] = None
+    for name in ("matcher_pairs_per_s", "ba_iter_ms",
+                 "train_examples_per_s"):
+        extra[name] = _run_isolated(name)
 
     print(
         json.dumps(
@@ -117,14 +117,40 @@ def main() -> None:
     )
 
 
+_FAMILIES = {}
+
+
+def _run_isolated(name: str, timeout_s: float = 420.0) -> float | None:
+    """Run one family bench as `python bench.py --only NAME` (fresh
+    interpreter, warm compile cache) and parse the one-line float it
+    prints. None on any failure — a diagnostic never sinks the headline."""
+    import subprocess
+
+    try:
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--only", name],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        sys.stderr.write(res.stderr)
+        if res.returncode != 0:
+            return None
+        return round(float(res.stdout.strip().splitlines()[-1]), 2)
+    except Exception as e:
+        print(f"[bench] {name} failed: {e}", file=sys.stderr)
+        return None
+
+
 def _bench_matcher(out) -> float:
     """Batched descriptor matching: verified-pair throughput (pairs/s) at
-    P=8 pairs x K=4096 descriptors x D=128 (the SfM front-end hot loop)."""
+    P=8 pairs x K=4096 descriptors x D=128 (the SfM front-end hot loop).
+    Slope-method timing; each in-loop iteration rolls the descriptor sets
+    (a genuinely different matching problem, so XLA cannot hoist the
+    matmul out of the loop)."""
     import jax
     import jax.numpy as jnp
 
     from tpu3drec.sfm.matching import match_pairs
-    from tpu3drec.utils.profiling import time_chained
+    from tpu3drec.utils.profiling import time_device_loop
 
     P, K, D = 8, 4096, 128
     rng = np.random.default_rng(1)
@@ -134,12 +160,17 @@ def _bench_matcher(out) -> float:
     valid = jnp.ones((P + 1, K), bool)
     pairs = jnp.asarray([[i, i + 1] for i in range(P)], jnp.int32)
 
-    fn = jax.jit(lambda d: match_pairs(d, valid, pairs).idx_a.sum())
+    def body(i, carry):
+        c, acc = carry
+        d = jnp.roll(descs_d, i * 13 + 1, axis=1) * (1.0 + c * 0)
+        m = match_pairs(d, valid, pairs)
+        return c, acc + m.score.sum().astype(jnp.float32)
 
-    def one(x):
-        return fn(descs_d + x * jnp.float32(1e-12)).astype(jnp.float32)
-
-    dt = time_chained(one, jnp.float32(0), iters=8, warmup=2)
+    dt = time_device_loop(
+        body,
+        lambda salt: (jnp.float32(1.0 + 0.03 * salt), jnp.float32(0)),
+        iters=(2, 18),
+    )
     print(f"matcher: {P / dt:.1f} pairs/s ({dt*1e3:.2f} ms / {P} pairs "
           f"@ K={K})", file=out)
     return P / dt
@@ -181,20 +212,29 @@ def _bench_ba(out) -> float:
         cam_params=jnp.asarray(
             cam_params + rng.normal(0, 0.01, (F, 6)).astype(np.float32)),
     )
-    n_iters = 8
-    res = ba_solve(prob, max_lm_iters=n_iters, cg_iters=10)  # compile
-    jax.block_until_ready(res.cam_params)
-    t0 = time.perf_counter()
-    res = ba_solve(prob._replace(
-        cam_params=prob.cam_params
-        + jnp.minimum(res.final_cost, 1.0) * 1e-9),
-        max_lm_iters=n_iters, cg_iters=10)
-    jax.block_until_ready(res.cam_params)
-    dt = time.perf_counter() - t0
-    it = max(int(res.n_iters), 1)
-    print(f"ba: {dt / it * 1e3:.1f} ms/LM-iter ({it} iters, F={F} L={L} "
-          f"O={O}, cg=10)", file=out)
-    return dt / it * 1e3
+    # slope over two max_lm_iters budgets, normalized by the iterations
+    # the early-exit while_loop actually ran: the relay's noisy 35-80 ms
+    # per-dispatch overhead cancels in the difference, and each call gets
+    # a bf16-visibly distinct start so none is a memoized replay.
+    def run(n, salt):
+        p = prob._replace(
+            cam_params=prob.cam_params * jnp.float32(1.0 + 0.003 * salt))
+        res = ba_solve(p, max_lm_iters=n, cg_iters=10)
+        jax.block_until_ready(res.cam_params)  # compile + first run
+        p = prob._replace(
+            cam_params=prob.cam_params * jnp.float32(1.0 + 0.003 * (salt + 1)))
+        t0 = time.perf_counter()
+        res = ba_solve(p, max_lm_iters=n, cg_iters=10)
+        jax.block_until_ready(res.cam_params)
+        return time.perf_counter() - t0, int(res.n_iters)
+
+    t_lo, it_lo = run(3, 1)
+    t_hi, it_hi = run(12, 3)
+    it = max(it_hi - it_lo, 1)
+    per_iter_ms = (t_hi - t_lo) / it * 1e3
+    print(f"ba: {per_iter_ms:.1f} ms/LM-iter ({it_lo}->{it_hi} iters, "
+          f"F={F} L={L} O={O}, cg=10)", file=out)
+    return per_iter_ms
 
 
 def _bench_training(out) -> float:
@@ -203,7 +243,7 @@ def _bench_training(out) -> float:
     import jax.numpy as jnp
 
     from tpu3drec.models.training import TrainConfig, init_state, make_train_step
-    from tpu3drec.utils.profiling import time_chained
+    from tpu3drec.utils.profiling import time_device_loop
 
     H, W, B = 192, 640, 4
     rng = np.random.default_rng(0)
@@ -216,11 +256,17 @@ def _bench_training(out) -> float:
     }
     key = jax.random.PRNGKey(0)
 
-    def one(s):
-        s2, _, _ = step(s, batch, key)
-        return s2
+    def body(i, carry):
+        c, s = carry
+        b = {k: jnp.roll(v, i * 7 + 1, axis=2) * (1.0 + c * 0)
+             for k, v in batch.items()}
+        s2, _, _ = step(s, b, key)
+        return c, s2
 
-    dt = time_chained(one, state, iters=10, warmup=3)
+    def make_carry(salt):
+        return jnp.float32(1.0 + 0.03 * salt), state
+
+    dt = time_device_loop(body, make_carry, iters=(2, 10))
     print(
         f"monodepth_train_examples_per_s: {B / dt:.1f} "
         f"({dt*1e3:.2f} ms/step, batch {B} @ {H}x{W})",
@@ -229,5 +275,21 @@ def _bench_training(out) -> float:
     return B / dt
 
 
+_FAMILIES.update(
+    matcher_pairs_per_s=_bench_matcher,
+    ba_iter_ms=_bench_ba,
+    train_examples_per_s=_bench_training,
+)
+
+
 if __name__ == "__main__":
+    if len(sys.argv) == 3 and sys.argv[1] == "--only":
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir", "/tmp/jax_cache_tpu3drec_dev")
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 0.5)
+        print(_FAMILIES[sys.argv[2]](sys.stderr))
+        sys.exit(0)
     sys.exit(main())

@@ -90,7 +90,14 @@ def roofline(seconds: float, flops: float, bytes_moved: float,
 def time_chained(step_fn, x0, iters: int = 20, warmup: int = 2) -> float:
     """Steady-state seconds/iteration with a data dependency threaded
     through consecutive dispatches (identical-argument dispatches can be
-    memoized by the runtime; chaining forces real execution)."""
+    memoized by the runtime; chaining forces real execution).
+
+    WARNING (this container's relay runtime): the memoization hash is
+    computed on BF16-TRUNCATED contents, so the chain only defeats it if
+    successive inputs differ by more than bf16 epsilon (~0.4% relative).
+    A `x * 1e-12`-style chain re-hits the cache and reports impossible
+    speeds. When in doubt use `time_device_loop` (slope method), which is
+    also immune to the 35-80 ms noisy per-dispatch relay overhead."""
     x = x0
     for _ in range(warmup):
         x = step_fn(x)
@@ -100,6 +107,50 @@ def time_chained(step_fn, x0, iters: int = 20, warmup: int = 2) -> float:
         x = step_fn(x)
     jax.block_until_ready(x)
     return (time.perf_counter() - t0) / iters
+
+
+def time_device_loop(body_fn, make_carry, iters=(4, 24), reps=2) -> float:
+    """Per-iteration device seconds via the two-length slope method — the
+    only timing discipline that survives this container's relay runtime
+    (design.md §6):
+
+    * the relay memoizes dispatches on BF16-TRUNCATED content hashes, so
+      chains perturbed below bf16 epsilon (~0.4% relative) re-hit the
+      cache and report impossible speeds (measured: 0.17 ms for a 34
+      GFLOP HIGHEST-precision matmul);
+    * a cache-missing dispatch carries 35-80 ms of NOISY relay overhead,
+      swamping ms-scale kernels.
+
+    So: run the workload as `lax.fori_loop(0, n, body_fn, carry)` inside
+    ONE jit for two loop lengths and return (t_n2 - t_n1)/(n2 - n1) —
+    the overhead cancels in the slope. Contract on the caller:
+
+    * `body_fn(i, carry)` must make each iteration's work bf16-visibly
+      different (e.g. jnp.roll the input by i, or scale by (1 + 0.03*i));
+    * `make_carry(salt)` returns a fresh carry whose data differs
+      bf16-visibly per salt (each timed call must be a cache miss).
+    """
+    from functools import partial as _partial
+
+    @_partial(jax.jit, static_argnames="n")
+    def loop(c0, n):
+        return jax.lax.fori_loop(0, n, body_fn, c0)
+
+    n1, n2 = iters
+    best = {n1: float("inf"), n2: float("inf")}
+    salt = 0
+    for _ in range(reps):
+        for n in (n1, n2):
+            salt += 1
+            c = make_carry(float(salt))
+            jax.block_until_ready(loop(c, n))  # compile + first real run
+            salt += 1
+            c = make_carry(float(salt))
+            jax.block_until_ready(c)
+            t0 = time.perf_counter()
+            jax.block_until_ready(loop(c, n))
+            best[n] = min(best[n], time.perf_counter() - t0)
+    return max((best[n2] - best[n1]) / (n2 - n1), 1e-9)
 
 
 def chain_scalar(out) -> jnp.ndarray:
