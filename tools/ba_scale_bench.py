@@ -58,7 +58,14 @@ def make_problem(F, L, O, noise_px=1.0, perturb=0.01, seed=0):
         points=jnp.asarray(
             points + rng.normal(0, 5 * perturb, (L, 3)).astype(np.float32)),
     )
-    return prob
+    # cost at the GT parameters = the irreducible noise floor: with real
+    # observation noise, a correct solver converges TO this, not to zero.
+    # Same Huber-on-pixel-norm convention as sfm/ba.py::cost_of (huber 2px)
+    noise = uv - np.array(residuals(clean))
+    n = np.linalg.norm(noise, axis=1)
+    hub = np.where(n <= 2.0, 0.5 * n ** 2, 2.0 * (n - 1.0))
+    floor = float(np.sum(hub))
+    return prob, floor
 
 
 def run_one(F, L, O, max_lm_iters=15, cg_iters=15):
@@ -66,34 +73,40 @@ def run_one(F, L, O, max_lm_iters=15, cg_iters=15):
 
     from tpu3drec.sfm.ba import ba_solve
 
-    prob = make_problem(F, L, O)
-    # compile + first solve
+    prob, floor = make_problem(F, L, O)
+    # compile + first solve (also the convergence record)
     t0 = time.perf_counter()
     res = ba_solve(prob, max_lm_iters=max_lm_iters, cg_iters=cg_iters)
     jax.block_until_ready(res.cam_params)
     compile_plus_first = time.perf_counter() - t0
 
-    # steady-state: nudge the start point through a data dependency on the
-    # previous result so the runtime cannot memoize the dispatch
-    t0 = time.perf_counter()
-    res2 = ba_solve(
-        prob._replace(
-            cam_params=prob.cam_params
-            + jnp.minimum(res.final_cost, 1.0) * 1e-9),
-        max_lm_iters=max_lm_iters, cg_iters=cg_iters)
-    jax.block_until_ready(res2.cam_params)
-    dt = time.perf_counter() - t0
+    # per-LM-iter time via the two-budget slope (design.md §6: bf16-visible
+    # salting per call, relay overhead cancels in the difference)
+    def timed(n, salt):
+        p = prob._replace(
+            cam_params=prob.cam_params * jnp.float32(1.0 + 0.003 * salt))
+        r = ba_solve(p, max_lm_iters=n, cg_iters=cg_iters)
+        jax.block_until_ready(r.cam_params)  # compile + first
+        p = prob._replace(
+            cam_params=prob.cam_params * jnp.float32(1.0 + 0.003 * (salt + 1)))
+        t0 = time.perf_counter()
+        r = ba_solve(p, max_lm_iters=n, cg_iters=cg_iters)
+        jax.block_until_ready(r.cam_params)
+        return time.perf_counter() - t0, int(r.n_iters)
 
-    it = max(int(res2.n_iters), 1)
+    t_lo, it_lo = timed(3, 1)
+    t_hi, it_hi = timed(max_lm_iters, 3)
+    it = max(it_hi - it_lo, 1)
     return {
         "F": F, "L": L, "O": O,
-        "lm_iters_run": int(res2.n_iters),
-        "ms_per_lm_iter": round(dt / it * 1e3, 1),
-        "solve_s": round(dt, 2),
+        "lm_iters_run": int(res.n_iters),
+        "ms_per_lm_iter": round((t_hi - t_lo) / it * 1e3, 1),
+        "solve_s": round(t_hi, 2),
         "compile_plus_first_s": round(compile_plus_first, 1),
         "cost_reduction": round(
-            float(res2.initial_cost / max(float(res2.final_cost), 1e-12)), 1),
-        "converged": bool(res2.final_cost < 0.05 * res2.initial_cost),
+            float(res.initial_cost / max(float(res.final_cost), 1e-12)), 1),
+        "final_vs_noise_floor": round(float(res.final_cost) / floor, 3),
+        "converged": bool(float(res.final_cost) <= 1.5 * floor),
         "backend": jax.default_backend(),
     }
 
