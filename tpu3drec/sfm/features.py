@@ -208,14 +208,20 @@ def _dominant_orientation(mag, ori, s_idx, x_idx, y_idx, radius: int = 8, bins: 
     dy, dx = jnp.meshgrid(offs, offs, indexing="ij")
     g = jnp.exp(-(dx ** 2 + dy ** 2) / (2.0 * (0.5 * radius) ** 2))
     H, W = mag.shape[1], mag.shape[2]
+    # mag/ori interleaved: one gather of 2-vectors per window sample
+    mo = jnp.stack([mag, ori], axis=-1)
 
     def one(s, x, y):
         ys = jnp.clip(y + dy, 0, H - 1)
         xs = jnp.clip(x + dx, 0, W - 1)
-        m = mag[s, ys, xs] * g
-        o = ori[s, ys, xs]
+        v = mo[s, ys, xs]
+        m = v[..., 0] * g
+        o = v[..., 1]
         b = jnp.floor((o + jnp.pi) / (2 * jnp.pi) * bins).astype(jnp.int32) % bins
-        hist = jnp.zeros(bins).at[b.reshape(-1)].add(m.reshape(-1))
+        # one-hot reduction instead of scatter-add (TPU scatters serialize)
+        onehot = b.reshape(-1)[:, None] == jnp.arange(bins,
+                                                      dtype=jnp.int32)[None]
+        hist = jnp.sum(m.reshape(-1)[:, None] * onehot, axis=0)
         # circular smoothing (Lowe) stabilizes the peak on symmetric corners
         hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
         peak = jnp.argmax(hist)
@@ -260,7 +266,11 @@ def _hist_from_gradients(rgx, rgy, px, py, patch_grid: int, ori_bins: int):
     b0 = jnp.floor(ofs)
     fb = ofs - b0
 
-    hist = jnp.zeros(cell * cell * ori_bins)
+    # accumulate the 8 trilinear contributions as (bin, weight) pairs and
+    # reduce them with a one-hot comparison instead of scatter-add: TPU
+    # scatters serialize (measured as the descriptor hot spot), while the
+    # (8*S, n_bins) equality-mask reduction is dense VPU work XLA fuses
+    flats, ws = [], []
     for dy_, wy_ in ((0, 1.0 - fy), (1, fy)):
         yi = y0 + dy_
         in_y = (yi >= 0) & (yi <= cell - 1)
@@ -272,9 +282,13 @@ def _hist_from_gradients(rgx, rgy, px, py, patch_grid: int, ori_bins: int):
             for db_, wb_ in ((0, 1.0 - fb), (1, fb)):
                 bc = (b0.astype(jnp.int32) + db_) % ori_bins
                 w = m * wy_ * wx_ * wb_ * in_y * in_x
-                flat = (yc * cell + xc) * ori_bins + bc
-                hist = hist.at[flat.reshape(-1)].add(w.reshape(-1))
-    return hist
+                flats.append(((yc * cell + xc) * ori_bins + bc).reshape(-1))
+                ws.append(w.reshape(-1))
+    flat = jnp.concatenate(flats)          # (8*S,)
+    w = jnp.concatenate(ws)                # (8*S,)
+    n_bins = cell * cell * ori_bins
+    onehot = flat[:, None] == jnp.arange(n_bins, dtype=jnp.int32)[None, :]
+    return jnp.sum(w[:, None] * onehot, axis=0)
 
 
 def _finalize_descriptor(hist: jnp.ndarray) -> jnp.ndarray:
@@ -295,8 +309,14 @@ def describe_keypoints(
     grid around each keypoint (bilinear), gradients soft-binned into a
     4x4 spatial x 8 orientation histogram."""
     H, W = img.shape
-    gx_img = (jnp.roll(img, -1, 1) - jnp.roll(img, 1, 1)) * 0.5
-    gy_img = (jnp.roll(img, -1, 0) - jnp.roll(img, 1, 0)) * 0.5
+    # gx/gy interleaved on a trailing dim: each bilinear corner fetch is
+    # ONE gather of 2-vectors instead of two scalar gathers. (A full
+    # 2x2x2 block gather via lax.gather was tried and OOMs: XLA copies
+    # the operand into a layout with the size-2 dims minor, a 64x padded
+    # 64 GB allocation. Scalar-point gathers keep the natural layout.)
+    g_img = jnp.stack(
+        [(jnp.roll(img, -1, 1) - jnp.roll(img, 1, 1)) * 0.5,
+         (jnp.roll(img, -1, 0) - jnp.roll(img, 1, 0)) * 0.5], axis=-1)
 
     # 16x16 sample grid in normalized patch coords [-1, 1)
     n = 4 * patch_grid
@@ -310,23 +330,23 @@ def describe_keypoints(
         sy = (sa * px + ca * py) * rad + xy[1]
         xs = jnp.clip(sx, 0, W - 1)
         ys = jnp.clip(sy, 0, H - 1)
-        x0 = jnp.floor(xs).astype(jnp.int32)
-        y0 = jnp.floor(ys).astype(jnp.int32)
+        # corner pinned to W-2/H-2 so the 2x2 block stays in range; at the
+        # top edge the weight saturates to 1, same value as corner clamping
+        x0 = jnp.clip(jnp.floor(xs), 0, W - 2).astype(jnp.int32)
+        y0 = jnp.clip(jnp.floor(ys), 0, H - 2).astype(jnp.int32)
+        wx = (xs - x0)[..., None]
+        wy = (ys - y0)[..., None]
+
         x1 = jnp.minimum(x0 + 1, W - 1)
         y1 = jnp.minimum(y0 + 1, H - 1)
-        wx = xs - x0
-        wy = ys - y0
-
-        def samp(f):
-            return (
-                f[y0, x0] * (1 - wx) * (1 - wy)
-                + f[y0, x1] * wx * (1 - wy)
-                + f[y1, x0] * (1 - wx) * wy
-                + f[y1, x1] * wx * wy
-            )
-
-        gx = samp(gx_img)
-        gy = samp(gy_img)
+        g = (
+            g_img[y0, x0] * (1 - wx) * (1 - wy)
+            + g_img[y0, x1] * wx * (1 - wy)
+            + g_img[y1, x0] * (1 - wx) * wy
+            + g_img[y1, x1] * wx * wy
+        )  # (..., 2)
+        gx = g[..., 0]
+        gy = g[..., 1]
         # rotate gradients into the patch frame
         rgx = ca * gx + sa * gy
         rgy = -sa * gx + ca * gy
@@ -347,8 +367,13 @@ def _describe_on_stack(G: jnp.ndarray, xy: jnp.ndarray, s_idx: jnp.ndarray,
     octaves (a blob twice as large, detected one octave up, sees the same
     patch)."""
     S1, H, W = G.shape
-    gx_st = (jnp.roll(G, -1, 2) - jnp.roll(G, 1, 2)) * 0.5
-    gy_st = (jnp.roll(G, -1, 1) - jnp.roll(G, 1, 1)) * 0.5
+    # interleaved gx/gy: one gather of 2-vectors per bilinear corner (see
+    # describe_keypoints)
+    # interleaved gx/gy: one gather of 2-vectors per bilinear corner (see
+    # describe_keypoints for why NOT a block gather)
+    g_st = jnp.stack(
+        [(jnp.roll(G, -1, 2) - jnp.roll(G, 1, 2)) * 0.5,
+         (jnp.roll(G, -1, 1) - jnp.roll(G, 1, 1)) * 0.5], axis=-1)
 
     n = 4 * patch_grid
     lin = (jnp.arange(n) + 0.5) / n * 2.0 - 1.0
@@ -361,23 +386,21 @@ def _describe_on_stack(G: jnp.ndarray, xy: jnp.ndarray, s_idx: jnp.ndarray,
         sy = (sa * px + ca * py) * rad + xy1[1]
         xs = jnp.clip(sx, 0, W - 1)
         ys = jnp.clip(sy, 0, H - 1)
-        x0 = jnp.floor(xs).astype(jnp.int32)
-        y0 = jnp.floor(ys).astype(jnp.int32)
+        x0 = jnp.clip(jnp.floor(xs), 0, W - 2).astype(jnp.int32)
+        y0 = jnp.clip(jnp.floor(ys), 0, H - 2).astype(jnp.int32)
+        wx = (xs - x0)[..., None]
+        wy = (ys - y0)[..., None]
+
         x1 = jnp.minimum(x0 + 1, W - 1)
         y1 = jnp.minimum(y0 + 1, H - 1)
-        wx = xs - x0
-        wy = ys - y0
-
-        def samp(f):
-            return (
-                f[s, y0, x0] * (1 - wx) * (1 - wy)
-                + f[s, y0, x1] * wx * (1 - wy)
-                + f[s, y1, x0] * (1 - wx) * wy
-                + f[s, y1, x1] * wx * wy
-            )
-
-        gx = samp(gx_st)
-        gy = samp(gy_st)
+        g = (
+            g_st[s, y0, x0] * (1 - wx) * (1 - wy)
+            + g_st[s, y0, x1] * wx * (1 - wy)
+            + g_st[s, y1, x0] * (1 - wx) * wy
+            + g_st[s, y1, x1] * wx * wy
+        )  # (..., 2)
+        gx = g[..., 0]
+        gy = g[..., 1]
         rgx = ca * gx + sa * gy
         rgy = -sa * gx + ca * gy
         return _finalize_descriptor(
