@@ -249,6 +249,16 @@ def monodepth_loss(
     N, H, W, _ = target.shape
     total = 0.0
     aux = {}
+    ident = None
+    if cfg.automask:
+        # identity reprojection is scale-independent (always full-res
+        # src vs target, `trainer.py:459-466`): compute once, reuse per
+        # scale — saves len(scales)-1 SSIM passes per source
+        ident = jnp.stack(
+            [reprojection_loss(src, target) for src in sources], axis=0
+        )
+        ident = ident + (identity_noise if identity_noise is not None
+                         else 1e-5)
     for si, scale in enumerate(cfg.scales):
         disp = disps[scale]
         # upsample to full resolution for the photometric term
@@ -262,13 +272,6 @@ def monodepth_loss(
         reproj = jnp.stack(reproj, axis=0)  # (S,N,H,W)
 
         if cfg.automask:
-            ident = jnp.stack(
-                [reprojection_loss(src, target) for src in sources], axis=0
-            )
-            if identity_noise is not None:
-                ident = ident + identity_noise
-            else:
-                ident = ident + 1e-5
             combined = jnp.concatenate([ident, reproj], axis=0)
         else:
             combined = reproj
