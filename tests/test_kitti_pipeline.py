@@ -110,3 +110,22 @@ def test_windowed_sfm_with_depth_priors_is_metric(long_capture):
     # An UNCONSTRAINED monocular trajectory has arbitrary scale, so this is
     # the meaningful bound.
     assert abs(est_len - gt_len) / gt_len < 0.2, (est_len, gt_len)
+
+
+@pytest.mark.slow
+def test_parallel_windows_match_sequential(long_capture):
+    """Window-level pipeline parallelism (SURVEY §2.3 PP): reconstructing
+    windows concurrently on round-robin devices must reproduce the
+    sequential trajectory exactly (same seeds, same stitch order)."""
+    images, gt_T, K = long_capture
+    seq_cfg = KittiRunConfig(window=8, stride=4, max_keypoints=256,
+                             loop_closure=False)
+    par_cfg = KittiRunConfig(window=8, stride=4, max_keypoints=256,
+                             loop_closure=False, parallel_windows=4)
+    Ts_seq, recs_seq = run_windowed_sfm(images, K, seq_cfg)
+    Ts_par, recs_par = run_windowed_sfm(images, K, par_cfg)
+    assert len(recs_par) == len(recs_seq)
+    for a, b in zip(Ts_seq, Ts_par):
+        assert (a is None) == (b is None)
+        if a is not None:
+            np.testing.assert_allclose(a, b, atol=1e-5)

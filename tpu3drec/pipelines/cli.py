@@ -204,7 +204,8 @@ def _cmd_kitti_eval(args):
         K[0] *= args.width / w0   # fx, cx scale with width
         K[1] *= args.height / h0  # fy, cy scale with height
     cfg = KittiRunConfig(window=args.window, stride=args.stride,
-                         max_keypoints=args.max_keypoints, verbose=True)
+                         max_keypoints=args.max_keypoints, verbose=True,
+                         parallel_windows=args.parallel_windows)
     Ts, recs = run_windowed_sfm(images, K, cfg)
     gt = ds.gt_poses()[args.start:args.start + n]
     m = evaluate_sequence(Ts, gt)
@@ -379,6 +380,9 @@ def main(argv=None):
     q.add_argument("--window", type=int, default=12)
     q.add_argument("--stride", type=int, default=7)
     q.add_argument("--max-keypoints", dest="max_keypoints", type=int, default=512)
+    q.add_argument("--parallel-windows", dest="parallel_windows", type=int,
+                   default=1, help="reconstruct N windows concurrently, "
+                   "round-robin over local devices (PP)")
     q.set_defaults(fn=_cmd_kitti_eval)
 
     q = sub.add_parser("ply2bt", help="PLY -> octomap .bt")

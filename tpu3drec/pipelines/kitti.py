@@ -10,8 +10,10 @@ refined with pose-graph optimization over the window-overlap constraints.
 
 from __future__ import annotations
 
+import contextlib
 from dataclasses import dataclass
 
+import jax
 import numpy as np
 
 from tpu3drec.sfm.icp import umeyama
@@ -34,6 +36,11 @@ class KittiRunConfig:
     lc_sim: float = 0.85      # global-descriptor similarity gate
     seed: int = 0
     verbose: bool = False
+    parallel_windows: int = 1  # >1: reconstruct this many windows
+                               # concurrently, round-robin over local
+                               # devices (window-level pipeline
+                               # parallelism — windows are independent;
+                               # only stitching is order-dependent)
 
 
 def _poses_to_T(rec, frames):
@@ -88,26 +95,63 @@ def run_windowed_sfm(
     pending: list = []       # windows awaiting stitchable shared frames
     window_edges: list = []  # (f1, f2, T_rel_window_scale, stitch_scale)
     recs = []
-    start = 0
-    widx = 0
-    while start < F - 1:
+
+    # window starts are known up front: reconstructions are mutually
+    # independent (the pipeline-parallel axis, SURVEY §2.3 PP); only the
+    # stitching pass below is order-dependent
+    starts = []
+    s = 0
+    while s < F - 1:
+        starts.append(s)
+        if min(s + cfg.window, F) >= F:
+            break
+        s += cfg.stride
+
+    def _reconstruct(widx_start, device=None):
+        widx, start = widx_start
         end = min(start + cfg.window, F)
+        ctx = jax.default_device(device) if device is not None else \
+            contextlib.nullcontext()
         try:
-            rec = run_sfm(
-                images[start:end], K,
-                max_keypoints=cfg.max_keypoints, overlap=cfg.overlap_matches,
-                seed=cfg.seed + widx, verbose=cfg.verbose,
-                depth_maps=None if depth_maps is None else depth_maps[start:end],
-            )
+            with ctx:
+                return run_sfm(
+                    images[start:end], K,
+                    max_keypoints=cfg.max_keypoints,
+                    overlap=cfg.overlap_matches,
+                    seed=cfg.seed + widx, verbose=cfg.verbose,
+                    depth_maps=None if depth_maps is None
+                    else depth_maps[start:end],
+                )
         except ValueError as e:
             # a window that cannot initialize must not kill the sequence —
             # later windows overlap it and cover its frames
             if cfg.verbose:
                 print(f"[kitti] window at {start} failed: {e}")
-            if end >= F:
-                break
-            start += cfg.stride
-            widx += 1
+            return None
+
+    if cfg.parallel_windows > 1:
+        # thread-level window pipelining: each worker pins its window's
+        # dispatches to one local device (round-robin), so W windows
+        # reconstruct concurrently — jax releases the GIL during device
+        # waits, and the host-side registration logic of different
+        # windows interleaves
+        import concurrent.futures as cf
+
+        devs = jax.local_devices()
+        window_recs = [None] * len(starts)
+        with cf.ThreadPoolExecutor(cfg.parallel_windows) as ex:
+            futs = {
+                ex.submit(_reconstruct, (w, st), devs[w % len(devs)]): w
+                for w, st in enumerate(starts)
+            }
+            for fut in cf.as_completed(futs):
+                window_recs[futs[fut]] = fut.result()
+    else:
+        window_recs = [_reconstruct((w, st)) for w, st in enumerate(starts)]
+
+    # order-dependent stitching pass (cheap host math)
+    for widx, (start, rec) in enumerate(zip(starts, window_recs)):
+        if rec is None:
             continue
         recs.append(rec)
         local = _poses_to_T(rec, rec.registered_frames())
@@ -123,10 +167,6 @@ def run_windowed_sfm(
             for f1, f2 in zip(loc_frames[:-1], loc_frames[1:]):
                 T_rel = np.linalg.inv(local[f1]) @ local[f2]
                 window_edges.append((f1, f2, T_rel, stitch_scale))
-        if end >= F:
-            break
-        start += cfg.stride
-        widx += 1
 
     Ts = [global_T.get(f) for f in range(F)]
     if cfg.loop_closure:
