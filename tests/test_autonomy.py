@@ -303,3 +303,71 @@ class TestMission:
             state2, cmd = mission_step(cfg, state, obs)
         assert state2.phase.dtype == jnp.int32
         assert cmd.velocity.shape == (3,)
+
+
+class TestPerceptionInTheLoop:
+    """Detector-driven closed loop: every tick RENDERS the front camera
+    in-graph, runs detect_rings on the rendered pixels, and feeds the
+    detection to the controller — perception, decision, and dynamics all
+    inside one lax.scan program (the reference round-trips every frame
+    through OpenCV on the host)."""
+
+    @pytest.mark.slow
+    def test_mission_flies_through_rendered_gate(self):
+        from tpu3drec.autonomy.mission import (
+            MissionConfig, Observation, Phase, mission_rollout)
+
+        H, W = 96, 128
+        f = 110.0
+        cfg = MissionConfig(
+            waypoints=jnp.asarray([[4.0, 0.0, 4.0]], jnp.float32),
+            gate_waypoint=jnp.asarray([True]),
+            task_ids=jnp.asarray([1], jnp.int32),
+            image_center=jnp.asarray([W / 2, H / 2], jnp.float32),
+            cruise_alt=4.0, scan_ticks=10, pass_ticks=25,
+            ring_score_min=2.5,  # contrast-ratio gate (detect_rings)
+            servo_gain=(0.03, 0.0, 0.008),
+        )
+        gate = jnp.asarray([8.0, 0.8, 4.5], jnp.float32)
+        gate_radius_m = 0.8
+        radii = (6, 8, 10, 13, 16, 20)
+        ys, xs = jnp.mgrid[0:H, 0:W]
+        key = jax.random.PRNGKey(0)
+        noise = 0.05 * jax.random.uniform(key, (H, W))
+
+        def render_front(pos):
+            rel = gate - pos
+            depth = jnp.maximum(rel[0], 0.5)
+            cx = W / 2 - f * rel[1] / depth
+            cy = H / 2 - f * rel[2] / depth
+            r_px = jnp.clip(f * gate_radius_m / depth, 3.0, 24.0)
+            d = jnp.sqrt((ys - cy) ** 2 + (xs - cx) ** 2)
+            ring = jnp.exp(-((d - r_px) ** 2) / (2.0 * 1.2 ** 2))
+            vis = (rel[0] > 0.5).astype(jnp.float32)
+            return jnp.clip(noise + vis * ring, 0.0, 1.0)
+
+        from tpu3drec.autonomy.detect import detect_rings
+
+        def observe(pos):
+            img = render_front(pos)
+            ring = detect_rings(img[None], radii=radii, stride=1)
+            return Observation(
+                ring_px=jnp.stack([ring.cx[0], ring.cy[0]]),
+                ring_score=ring.score[0],
+                blob_px=jnp.zeros(2), blob_found=jnp.bool_(False),
+                altitude=pos[2], position=pos,
+                marker_ids=jnp.full((1,), -1, jnp.int32),
+            )
+
+        state, traj, phases = mission_rollout(
+            cfg, observe, n_steps=420, start=jnp.zeros(3), dt=0.1)
+        phases = np.asarray(phases)
+        traj = np.asarray(traj)
+        # the detector found and the controller passed the gate
+        assert (phases == int(Phase.ALIGN_GATE)).any()
+        assert (phases == int(Phase.PASS_GATE)).any()
+        through = traj[np.abs(traj[:, 0] - 8.0) < 0.25]
+        assert len(through) > 0
+        # gate crossed near its center: servoing on RENDERED pixels worked
+        assert np.min(np.abs(through[:, 1] - 0.8)) < 0.45, through
+        assert np.min(np.abs(through[:, 2] - 4.5)) < 0.45, through
