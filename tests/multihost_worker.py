@@ -31,6 +31,24 @@ def main():
     )
 
     assert init_distributed(coord, nproc, pid)
+    if mode == "kitti":
+        # window-sharded multi-host SfM: each process reconstructs its
+        # slice of windows; stitched trajectories replicate on every host
+        from tpu3drec.pipelines.kitti import KittiRunConfig, run_windowed_sfm
+
+        images = np.load(outdir + "/images.npy")
+        K = np.load(outdir + "/K.npy")
+        cfg = KittiRunConfig(window=8, stride=4, max_keypoints=256,
+                             loop_closure=False)
+        Ts, recs = run_windowed_sfm(images, K, cfg)
+        if pid == 0:
+            np.savez(outdir + "/mh_traj.npz",
+                     **{f"T{i}": T for i, T in enumerate(Ts)
+                        if T is not None})
+        barrier("kitti_done")
+        print(f"WORKER_OK pid={pid} windows_owned={len(recs)} "
+              f"covered={sum(T is not None for T in Ts)}")
+        return
     if mode == "rgbd":
         # the real pipeline, frame-sharded across processes: cfg json is
         # prepared by the parent; out paths land in outdir

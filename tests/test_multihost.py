@@ -165,3 +165,72 @@ def test_two_process_rgbd_pipeline_matches_single(tmp_path):
     np.testing.assert_array_equal(
         np.unique(keys_mh, axis=0), np.unique(keys_sp, axis=0))
     assert ref.n_frames == 4
+
+
+@pytest.mark.slow
+def test_two_process_windowed_sfm_matches_single(tmp_path):
+    """Window-sharded multi-host SfM: 2 processes each reconstruct half
+    the windows; the allgathered+stitched trajectory must match the
+    single-process run."""
+    from tpu3drec.data.capture_sim import CaptureSim, SimScene, render_frame
+    from tpu3drec.utils.config import CameraConfig
+
+    rng = np.random.default_rng(11)
+    scene = SimScene.clustered(rng, n_landmarks=420, sats=4,
+                               extent=((-25, -6, 8), (40, 6, 60)))
+    cam = CameraConfig(fx=220.0, fy=220.0, cx=128.0, cy=96.0,
+                       width=256, height=192)
+    sim = CaptureSim(scene, cam=cam)
+    poses = sim.fly(16, step=np.array([0.55, 0.0, 0.35]), yaw_rate=0.01)
+    frames = [render_frame(scene, R, t, cam) for R, t in poses]
+    images = np.stack(
+        [f[0].mean(-1).astype(np.float32) / 255.0 for f in frames])
+    K = np.array([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]],
+                 np.float32)
+    np.save(tmp_path / "images.npy", images)
+    np.save(tmp_path / "K.npy", K)
+
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, f"localhost:{port}", "2", str(pid),
+             str(tmp_path), "kitti"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True, cwd=REPO,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            # generous: window SfM compiles per worker, and under a loaded
+            # suite (xdist) wall time stretches several-fold
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+        assert "WORKER_OK" in out, out
+    # the heavy reconstruction genuinely sharded: each host owned some,
+    # neither owned all
+    owned = [int(o.split("windows_owned=")[1].split()[0]) for o in outs]
+    assert all(n >= 1 for n in owned), outs
+    assert sum(owned) >= 2
+
+    # single-process ground truth
+    from tpu3drec.pipelines.kitti import KittiRunConfig, run_windowed_sfm
+
+    cfg = KittiRunConfig(window=8, stride=4, max_keypoints=256,
+                         loop_closure=False)
+    Ts_sp, _ = run_windowed_sfm(images, K, cfg)
+    got = np.load(tmp_path / "mh_traj.npz")
+    for i, T in enumerate(Ts_sp):
+        if T is None:
+            assert f"T{i}" not in got
+        else:
+            np.testing.assert_allclose(got[f"T{i}"], T, atol=1e-4)

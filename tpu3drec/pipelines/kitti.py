@@ -68,13 +68,59 @@ def _similarity_from_pose_pairs(src_Ts, dst_Ts):
                           jnp.ones(len(src_Ts), dtype=jnp.float32))
         return float(s), np.asarray(R, np.float64), np.asarray(t, np.float64)
     # 2 overlap frames: rotation from relative orientations, scale from the
-    # center distance ratio
+    # center distance ratio. Degenerate when either pair of centers
+    # (nearly) coincides — the ratio is then 0/eps or eps/0 and the
+    # stitched window collapses or explodes; signal failure instead
+    # (the caller keeps the window pending).
     R = dst_Ts[0][:3, :3] @ src_Ts[0][:3, :3].T
     d_src = np.linalg.norm(src_c[-1] - src_c[0])
     d_dst = np.linalg.norm(dst_c[-1] - dst_c[0])
+    if d_src < 1e-6 or d_dst < 1e-6:
+        return None
     s = d_dst / max(d_src, 1e-12)
     t = dst_c[0] - s * R @ src_c[0]
     return s, R, t
+
+
+def _allgather_window_locals(window_locals, my_windows, window_size):
+    """Exchange per-window pose dicts across processes: pack each host's
+    windows into fixed-shape arrays (-1-padded), process_allgather, unpack
+    into the global widx order. Tiny payload (frames x 4x4 per window) —
+    the reconstructions themselves never leave their host."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    n_windows = len(window_locals)
+    # every host must pack the same Wmax (allgather needs uniform shapes)
+    p = jax.process_count()
+    wmax = -(-n_windows // p)
+    widx = np.full(wmax, -1, np.int32)
+    fids = np.full((wmax, window_size), -1, np.int32)
+    mats = np.zeros((wmax, window_size, 4, 4), np.float32)
+    for row, w in enumerate(my_windows):
+        local = window_locals[w]
+        if local is None:
+            continue
+        widx[row] = w
+        for col, (f, T) in enumerate(sorted(local.items())):
+            fids[row, col] = f
+            mats[row, col] = T
+    g_widx, g_fids, g_mats = multihost_utils.process_allgather(
+        (widx, fids, mats))
+    out = [None] * n_windows
+    for pi in range(g_widx.shape[0]):
+        for row in range(wmax):
+            w = int(g_widx[pi, row])
+            if w < 0:
+                continue
+            local = {}
+            for col in range(window_size):
+                f = int(g_fids[pi, row, col])
+                if f >= 0:
+                    local[f] = np.asarray(g_mats[pi, row, col], np.float64)
+            if local:
+                out[w] = local
+    return out
 
 
 def run_windowed_sfm(
@@ -129,6 +175,19 @@ def run_windowed_sfm(
                 print(f"[kitti] window at {start} failed: {e}")
             return None
 
+    multihost = jax.process_count() > 1
+    my_windows = range(len(starts))
+    if multihost:
+        # window-sharded multi-host SfM (SURVEY §5.8): each process
+        # reconstructs only its contiguous slice of windows; per-window
+        # pose dicts (tiny) are exchanged with process_allgather so every
+        # host runs the identical deterministic stitch — trajectories are
+        # replicated, heavy reconstruction scales with host count.
+        # `recs` holds only locally-owned reconstructions.
+        from tpu3drec.parallel.multihost import process_slice
+
+        my_windows = range(*process_slice(len(starts)).indices(len(starts)))
+
     if cfg.parallel_windows > 1:
         # thread-level window pipelining: each worker pins its window's
         # dispatches to one local device (round-robin), so W windows
@@ -141,21 +200,35 @@ def run_windowed_sfm(
         window_recs = [None] * len(starts)
         with cf.ThreadPoolExecutor(cfg.parallel_windows) as ex:
             futs = {
-                ex.submit(_reconstruct, (w, st), devs[w % len(devs)]): w
-                for w, st in enumerate(starts)
+                ex.submit(_reconstruct, (w, starts[w]),
+                          devs[w % len(devs)]): w
+                for w in my_windows
             }
             for fut in cf.as_completed(futs):
                 window_recs[futs[fut]] = fut.result()
     else:
-        window_recs = [_reconstruct((w, st)) for w, st in enumerate(starts)]
+        window_recs = [None] * len(starts)
+        for w in my_windows:
+            window_recs[w] = _reconstruct((w, starts[w]))
 
-    # order-dependent stitching pass (cheap host math)
-    for widx, (start, rec) in enumerate(zip(starts, window_recs)):
+    # per-window pose dicts; in multihost mode, exchanged across processes
+    window_locals = [None] * len(starts)
+    for widx in my_windows:
+        rec = window_recs[widx]
         if rec is None:
             continue
         recs.append(rec)
         local = _poses_to_T(rec, rec.registered_frames())
-        local = {start + f: T for f, T in local.items()}
+        window_locals[widx] = {
+            starts[widx] + f: T for f, T in local.items()}
+    if multihost:
+        window_locals = _allgather_window_locals(
+            window_locals, list(my_windows), cfg.window)
+
+    # order-dependent stitching pass (cheap host math, identical everywhere)
+    for widx, local in enumerate(window_locals):
+        if local is None:
+            continue
 
         stitched, stitch_scale = _try_stitch(global_T, local, cfg)
         if not stitched:
@@ -172,28 +245,33 @@ def run_windowed_sfm(
     if cfg.loop_closure:
         closure_edges, closures = _closure_edges(images, K, Ts, cfg,
                                                  depth_maps=depth_maps)
+
+        def unlock_shared() -> bool:
+            # retry stitching disconnected segments against the updated
+            # global frame (each stitched window may unlock the next)
+            any_prog = False
+            progress = True
+            while progress and pending:
+                progress = False
+                for local in list(pending):
+                    stitched, scale = _try_stitch(global_T, local, cfg)
+                    if stitched:
+                        pending.remove(local)
+                        progress = any_prog = True
+                        loc_frames = sorted(local)
+                        for f1, f2 in zip(loc_frames[:-1], loc_frames[1:]):
+                            T_rel = np.linalg.inv(local[f1]) @ local[f2]
+                            window_edges.append((f1, f2, T_rel, scale))
+                        if cfg.verbose:
+                            print(f"[kitti] relocalization unlocked window "
+                                  f"{min(local)}..{max(local)}")
+            return any_prog
+
         Ts = _relocalize(Ts, closures, cfg, K=K, depth_maps=depth_maps)
-        # anchored frames can unlock whole pending windows: retry stitching
-        # disconnected segments against the updated global frame (iterate —
-        # each stitched window may unlock the next)
         for f, T in enumerate(Ts):
             if T is not None:
                 global_T[f] = T
-        progress = True
-        while progress and pending:
-            progress = False
-            for local in list(pending):
-                stitched, scale = _try_stitch(global_T, local, cfg)
-                if stitched:
-                    pending.remove(local)
-                    progress = True
-                    loc_frames = sorted(local)
-                    for f1, f2 in zip(loc_frames[:-1], loc_frames[1:]):
-                        T_rel = np.linalg.inv(local[f1]) @ local[f2]
-                        window_edges.append((f1, f2, T_rel, scale))
-                    if cfg.verbose:
-                        print(f"[kitti] relocalization unlocked window "
-                              f"{min(local)}..{max(local)}")
+        unlock_shared()
         Ts = [global_T.get(f) for f in range(F)]
         window_edges += closure_edges
     if cfg.pose_graph:
@@ -213,9 +291,15 @@ def _try_stitch(global_T: dict, local: dict, cfg) -> tuple[bool, float]:
             print(f"[kitti] window {min(local)}..{max(local)}: "
                   f"<2 shared frames, pending")
         return False, 1.0
-    s, R, t = _similarity_from_pose_pairs(
+    sim = _similarity_from_pose_pairs(
         [local[f] for f in shared], [global_T[f] for f in shared]
     )
+    if sim is None:  # degenerate 2-anchor geometry: keep pending
+        if cfg.verbose:
+            print(f"[kitti] window {min(local)}..{max(local)}: "
+                  f"degenerate 2-anchor stitch, pending")
+        return False, 1.0
+    s, R, t = sim
     S = np.eye(4)
     S[:3, :3] = s * R
     S[:3, 3] = t
@@ -277,10 +361,29 @@ def _relocalize(Ts, closures, cfg, K=None, depth_maps=None):
     (closure_metric_magnitude) — a revisit offset by metres lands at its
     true pose. Without depth (pure monocular) the magnitude is
     unobservable and the frame is placed at the partner's center with the
-    measured relative rotation (exact only for true revisits)."""
+    measured relative rotation (exact only for true revisits).
+
+    PARTNER DIVERSITY: each localized partner anchors at most one frame
+    (first pass); a partner is reused only for frames nothing else can
+    anchor (second pass). In the monocular path two frames anchored at
+    the SAME partner's center coincide, and the pending-window re-stitch
+    then computes its scale from the distance between coincident anchors
+    — a measured whole-tail scale collapse on the occluded orbit. Anchors
+    at distinct partners inherit the partners' true spacing, which for
+    revisits matches the anchored frames' spacing."""
     out = list(Ts)
-    for c in closures:
+    used_partners: set = set()
+
+    def place(c, allow_reuse: bool) -> None:
         a, b = c.i, c.j
+        if out[a] is not None and out[b] is None:
+            partner, target, invert = a, b, False
+        elif out[b] is not None and out[a] is None:
+            partner, target, invert = b, a, True
+        else:
+            return
+        if not allow_reuse and partner in used_partners:
+            return
         mag = 0.0
         if depth_maps is not None and K is not None:
             m = closure_metric_magnitude(c, K, depth_maps)
@@ -289,22 +392,23 @@ def _relocalize(Ts, closures, cfg, K=None, depth_maps=None):
         # T maps cam_b coords -> cam_a coords (see _closure_edges)
         Rba = c.R_rel.T
         tba = -Rba @ (c.t_dir * mag)
-        if out[a] is not None and out[b] is None:
-            T = np.eye(4)
-            T[:3, :3] = Rba
-            T[:3, 3] = tba
-            out[b] = out[a] @ T
-            if cfg.verbose:
-                print(f"[kitti] relocalized frame {b} via closure to {a} "
-                      f"(|t|={mag:.2f})")
-        elif out[b] is not None and out[a] is None:
-            T = np.eye(4)
+        T = np.eye(4)
+        if invert:
             T[:3, :3] = Rba.T
             T[:3, 3] = -Rba.T @ tba
-            out[a] = out[b] @ T
-            if cfg.verbose:
-                print(f"[kitti] relocalized frame {a} via closure to {b} "
-                      f"(|t|={mag:.2f})")
+        else:
+            T[:3, :3] = Rba
+            T[:3, 3] = tba
+        out[target] = out[partner] @ T
+        used_partners.add(partner)
+        if cfg.verbose:
+            print(f"[kitti] relocalized frame {target} via closure to "
+                  f"{partner} (|t|={mag:.2f})")
+
+    for c in closures:          # pass 1: distinct partners only
+        place(c, allow_reuse=False)
+    for c in closures:          # pass 2: whatever remains
+        place(c, allow_reuse=True)
     return out
 
 
