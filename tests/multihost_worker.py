@@ -38,7 +38,7 @@ def main():
 
         images = np.load(outdir + "/images.npy")
         K = np.load(outdir + "/K.npy")
-        cfg = KittiRunConfig(window=8, stride=4, max_keypoints=256,
+        cfg = KittiRunConfig(window=6, stride=3, max_keypoints=192,
                              loop_closure=False)
         Ts, recs = run_windowed_sfm(images, K, cfg)
         if pid == 0:

@@ -181,7 +181,9 @@ def test_two_process_windowed_sfm_matches_single(tmp_path):
     cam = CameraConfig(fx=220.0, fy=220.0, cx=128.0, cy=96.0,
                        width=256, height=192)
     sim = CaptureSim(scene, cam=cam)
-    poses = sim.fly(16, step=np.array([0.55, 0.0, 0.35]), yaw_rate=0.01)
+    # kept small: under a fully loaded xdist suite the two worker
+    # processes share starved cores, and the 900s budget must hold
+    poses = sim.fly(12, step=np.array([0.55, 0.0, 0.35]), yaw_rate=0.01)
     frames = [render_frame(scene, R, t, cam) for R, t in poses]
     images = np.stack(
         [f[0].mean(-1).astype(np.float32) / 255.0 for f in frames])
@@ -225,7 +227,7 @@ def test_two_process_windowed_sfm_matches_single(tmp_path):
     # single-process ground truth
     from tpu3drec.pipelines.kitti import KittiRunConfig, run_windowed_sfm
 
-    cfg = KittiRunConfig(window=8, stride=4, max_keypoints=256,
+    cfg = KittiRunConfig(window=6, stride=3, max_keypoints=192,
                          loop_closure=False)
     Ts_sp, _ = run_windowed_sfm(images, K, cfg)
     got = np.load(tmp_path / "mh_traj.npz")
