@@ -269,6 +269,66 @@ def _cmd_ply2bt(args):
     print(f"{pts.shape[0]} points -> {keys.shape[0]} voxels, {n} nodes -> {args.out}")
 
 
+def _cmd_mission_sim(args):
+    """Closed-loop autonomous mission in a simulated world: the reference
+    client's flight loop (`ref/airsim/main.cpp:1633-3974`) as ONE compiled
+    lax.scan program — takeoff, waypoints, ring-gate servoing, dash,
+    ArUco-scan sweep, pad search, landing."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu3drec.autonomy.mission import (
+        MissionConfig, Observation, Phase, mission_rollout)
+
+    cfg = MissionConfig(
+        waypoints=jnp.asarray([[2.0, 0.0, 4.0], [6.0, 0.0, 4.0]],
+                              jnp.float32),
+        gate_waypoint=jnp.asarray([False, True]),
+        task_ids=jnp.asarray([3, 8], jnp.int32),
+        image_center=jnp.asarray([160.0, 120.0], jnp.float32),
+        cruise_alt=args.cruise_alt, scan_ticks=10, pass_ticks=15,
+        servo_gain=(0.02, 0.0, 0.005),
+    )
+    gate = jnp.asarray([9.0, 0.6, 4.4], jnp.float32)
+    pad = jnp.asarray([13.0, 0.5, 0.0], jnp.float32)
+    f, c0 = 200.0, cfg.image_center
+
+    def observe(pos):
+        rel = gate - pos
+        depth = jnp.maximum(rel[0], 0.3)
+        relp = pad - pos
+        alt = jnp.maximum(pos[2] - pad[2], 0.3)
+        visible = (rel[0] > 0.5) & (jnp.abs(rel[1]) < 4.0) \
+            & (jnp.abs(rel[2]) < 4.0)
+        return Observation(
+            ring_px=jnp.stack([c0[0] - f * rel[1] / depth,
+                               c0[1] - f * rel[2] / depth]),
+            ring_score=jnp.where(visible, 0.9, 0.01),
+            blob_px=jnp.stack([c0[0] - f * relp[1] / alt,
+                               c0[1] - f * relp[0] / alt]),
+            blob_found=(jnp.abs(relp[0]) < 2.0) & (jnp.abs(relp[1]) < 2.0),
+            altitude=pos[2], position=pos,
+            marker_ids=jnp.full((2,), -1, jnp.int32),
+        )
+
+    state, traj, phases = mission_rollout(
+        cfg, observe, n_steps=args.steps, start=jnp.zeros(3), dt=0.1)
+    phases = np.asarray(phases)
+    traj = np.asarray(traj)
+    prev = -1
+    for i, ph in enumerate(phases):
+        if ph != prev:
+            print(f"t={i * 0.1:6.1f}s  {Phase(int(ph)).name:13s} "
+                  f"pos={np.round(traj[i], 2)}")
+            prev = ph
+    print(f"final: {Phase(int(state.phase)).name} at "
+          f"{np.round(traj[-1], 2)}")
+    if args.out_traj:
+        np.savetxt(args.out_traj, traj, fmt="%.4f")
+        print(f"trajectory -> {args.out_traj}")
+    return 0 if int(state.phase) == int(Phase.LANDED) else 1
+
+
 def main(argv=None):
     # persistent compile cache: remote-compile latency on tunneled TPUs is
     # highly variable (measured 2s-180s for identical programs) — repeat CLI
@@ -384,6 +444,13 @@ def main(argv=None):
                    default=1, help="reconstruct N windows concurrently, "
                    "round-robin over local devices (PP)")
     q.set_defaults(fn=_cmd_kitti_eval)
+
+    q = sub.add_parser("mission-sim",
+                       help="closed-loop autonomous mission (one lax.scan)")
+    q.add_argument("--steps", type=int, default=1200)
+    q.add_argument("--cruise-alt", dest="cruise_alt", type=float, default=4.0)
+    q.add_argument("--out-traj", dest="out_traj", default=None)
+    q.set_defaults(fn=_cmd_mission_sim)
 
     q = sub.add_parser("ply2bt", help="PLY -> octomap .bt")
     q.add_argument("ply")
