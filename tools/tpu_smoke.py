@@ -69,12 +69,14 @@ def check_fusion() -> bool:
     import jax.numpy as jnp
 
     from baseline.reference_cpu import gentxtcord_equiv
+    from tpu3drec.core.camera import PinholeCamera
     from tpu3drec.core.unproject import depth_to_camera_points
 
     rng = np.random.default_rng(1)
     depth = rng.uniform(0.2, 40.0, (120, 160)).astype(np.float32)
-    got = np.asarray(depth_to_camera_points(
-        jnp.asarray(depth), 269.5, 269.5, 79.5, 59.5))
+    cam = PinholeCamera(fx=269.5, fy=269.5, cx=79.5, cy=59.5,
+                        width=160, height=120)
+    got = np.asarray(depth_to_camera_points(jnp.asarray(depth), cam))
     want = gentxtcord_equiv(depth, 269.5, 269.5, 79.5, 59.5)
     return np.allclose(got.reshape(-1, 3), want, atol=1e-3)
 
