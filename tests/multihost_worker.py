@@ -31,6 +31,51 @@ def main():
     )
 
     assert init_distributed(coord, nproc, pid)
+    if mode == "train":
+        # multi-host DATA-PARALLEL training: each host feeds its local
+        # batch shard; gradients sync across processes through the global
+        # mesh (the psum rides the jax.distributed backend). Every host
+        # must end with IDENTICAL parameters.
+        import jax.numpy as jnp
+        from jax.experimental import multihost_utils
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from tpu3drec.models.training import (
+            TrainConfig, init_state, make_train_step)
+
+        H, W, B_global = 64, 96, 4
+        cfg = TrainConfig(height=H, width=W, batch_size=B_global)
+        model, state, tx = init_state(jax.random.PRNGKey(0), cfg, 10)
+        step = make_train_step(model, tx, cfg)
+
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        repl = NamedSharding(mesh, P())
+        state = jax.device_put(state, repl)
+
+        B_local = B_global // nproc
+        key = jax.random.PRNGKey(0)
+        for it in range(3):
+            batch = {}
+            for ki, k in enumerate(("target", "prev", "next")):
+                # deterministic GLOBAL batch; each host materializes only
+                # its slice
+                rng_g = np.random.default_rng(1000 * it + ki)
+                full = rng_g.uniform(
+                    size=(B_global, H, W, 3)).astype(np.float32)
+                local = full[pid * B_local:(pid + 1) * B_local]
+                batch[k] = multihost_utils.host_local_array_to_global_array(
+                    local, mesh, P("data"))
+            state, loss, aux = step(state, batch, key)
+        # parameters must be bit-identical across hosts after synced steps
+        leaves = jax.tree_util.tree_leaves(state.params)
+        norm = float(np.sum([np.linalg.norm(np.asarray(
+            jax.device_get(l)).astype(np.float64)) for l in leaves]))
+        with open(outdir + f"/train_norm_{pid}.txt", "w") as f:
+            f.write(repr(norm))
+        barrier("train_done")
+        print(f"WORKER_OK pid={pid} param_norm={norm!r} "
+              f"loss={float(jax.device_get(loss)):.5f}")
+        return
     if mode == "kitti":
         # window-sharded multi-host SfM: each process reconstructs its
         # slice of windows; stitched trajectories replicate on every host

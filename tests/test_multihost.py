@@ -236,3 +236,61 @@ def test_two_process_windowed_sfm_matches_single(tmp_path):
             assert f"T{i}" not in got
         else:
             np.testing.assert_allclose(got[f"T{i}"], T, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_two_process_data_parallel_training(tmp_path):
+    """Multi-host DP training: 2 processes each feed their local batch
+    shard; the gradient psum crosses processes and both hosts end with
+    identical parameters (and match a single-process run on the same
+    global batch)."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, f"localhost:{port}", "2", str(pid),
+             str(tmp_path), "train"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True, cwd=REPO,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+        assert "WORKER_OK" in out, out
+    n0 = float((tmp_path / "train_norm_0.txt").read_text())
+    n1 = float((tmp_path / "train_norm_1.txt").read_text())
+    assert n0 == n1, (n0, n1)  # exact: same synced updates on both hosts
+
+    # single-process ground truth on the same deterministic global batch
+    import jax
+    import numpy as np2
+    from tpu3drec.models.training import (
+        TrainConfig, init_state, make_train_step)
+
+    H, W, B = 64, 96, 4
+    cfg = TrainConfig(height=H, width=W, batch_size=B)
+    model, state, tx = init_state(jax.random.PRNGKey(0), cfg, 10)
+    step = make_train_step(model, tx, cfg)
+    key = jax.random.PRNGKey(0)
+    for it in range(3):
+        batch = {}
+        for ki, k in enumerate(("target", "prev", "next")):
+            rng_g = np2.random.default_rng(1000 * it + ki)
+            batch[k] = rng_g.uniform(size=(B, H, W, 3)).astype(np2.float32)
+        state, loss, aux = step(state, batch, key)
+    leaves = jax.tree_util.tree_leaves(state.params)
+    norm_sp = float(np2.sum([np2.linalg.norm(np2.asarray(
+        jax.device_get(l)).astype(np2.float64)) for l in leaves]))
+    # cross-device reduction order differs; tolerance not bit-equality
+    assert abs(norm_sp - n0) / max(abs(norm_sp), 1e-9) < 1e-4, (norm_sp, n0)
