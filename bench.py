@@ -29,6 +29,35 @@ _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
 import numpy as np
 
 
+def _device_watchdog(timeout_s: float = 300.0) -> None:
+    """Fail FAST with one parseable JSON line if the device never responds.
+    The relay runtime can wedge (observed round 2: a pathological Pallas
+    compile left even trivial dispatches hanging forever); a hang here
+    would eat the driver's whole bench budget silently."""
+    import threading
+
+    done = threading.Event()
+
+    def probe():
+        import jax.numpy as jnp
+
+        (jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready()
+        done.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        print(json.dumps({
+            "metric": "rgbd_fusion_frames_per_s",
+            "value": 0,
+            "unit": "frames/s",
+            "vs_baseline": 0,
+            "error": f"device unresponsive after {timeout_s:.0f}s "
+                     "(relay wedge — see docs/design.md §6)",
+        }))
+        os._exit(2)
+
+
 def main() -> None:
     import jax
 
@@ -37,6 +66,7 @@ def main() -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
+    _device_watchdog()
     import jax.numpy as jnp
 
     from baseline.reference_cpu import gentxtcord_equiv, world_transform_equiv
