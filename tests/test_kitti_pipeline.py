@@ -129,3 +129,71 @@ def test_parallel_windows_match_sequential(long_capture):
         assert (a is None) == (b is None)
         if a is not None:
             np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+class TestClosureRobustness:
+    """Unit coverage for the round-2 relocalization robustness fixes
+    (the big occluded-orbit fixture exercises them end-to-end)."""
+
+    def test_two_anchor_stitch_refuses_coincident_centers(self):
+        from tpu3drec.pipelines.kitti import _similarity_from_pose_pairs
+
+        T = np.eye(4)
+        # src has two distinct centers, dst centers coincide -> degenerate
+        src = [T.copy(), T.copy()]
+        src[1][:3, 3] = [1.0, 0.0, 0.0]
+        dst = [T.copy(), T.copy()]
+        assert _similarity_from_pose_pairs(src, dst) is None
+        # and the symmetric case
+        assert _similarity_from_pose_pairs(dst, src) is None
+        # sane geometry still stitches
+        dst2 = [T.copy(), T.copy()]
+        dst2[1][:3, 3] = [2.0, 0.0, 0.0]
+        s, R, t = _similarity_from_pose_pairs(src, dst2)
+        assert abs(s - 2.0) < 1e-9
+
+    def test_relocalize_prefers_distinct_partners(self):
+        from tpu3drec.pipelines.kitti import KittiRunConfig, _relocalize
+        from tpu3drec.sfm.loopclosure import LoopClosure
+
+        def T_at(c):
+            T = np.eye(4)
+            T[:3, 3] = c
+            return T
+
+        # frames 0,1 localized; 8,9 not. Closures: (0,8) first, then
+        # (0,9) and (1,9) — partner diversity must route 9 to partner 1
+        # even though (0,9) comes first.
+        Ts = [T_at([0, 0, 0]), T_at([3, 0, 0]), None, None, None,
+              None, None, None, None, None]
+
+        def cl(i, j):
+            return LoopClosure(
+                i=i, j=j, R_rel=np.eye(3),
+                t_dir=np.array([0.0, 0.0, 1.0]), n_inliers=30,
+                uv_i=np.zeros((1, 2), np.float32),
+                uv_j=np.zeros((1, 2), np.float32))
+
+        out = _relocalize(Ts, [cl(0, 8), cl(0, 9), cl(1, 9)],
+                          KittiRunConfig())
+        # 8 anchored at partner 0's center, 9 at partner 1's (monocular:
+        # |t|=0 placement)
+        np.testing.assert_allclose(out[8][:3, 3], [0, 0, 0], atol=1e-9)
+        np.testing.assert_allclose(out[9][:3, 3], [3, 0, 0], atol=1e-9)
+
+    def test_relocalize_reuses_partner_when_no_alternative(self):
+        from tpu3drec.pipelines.kitti import KittiRunConfig, _relocalize
+        from tpu3drec.sfm.loopclosure import LoopClosure
+
+        T0 = np.eye(4)
+        Ts = [T0, None, None]
+
+        def cl(i, j):
+            return LoopClosure(
+                i=i, j=j, R_rel=np.eye(3),
+                t_dir=np.array([0.0, 0.0, 1.0]), n_inliers=30,
+                uv_i=np.zeros((1, 2), np.float32),
+                uv_j=np.zeros((1, 2), np.float32))
+
+        out = _relocalize(Ts, [cl(0, 1), cl(0, 2)], KittiRunConfig())
+        assert out[1] is not None and out[2] is not None  # second pass
