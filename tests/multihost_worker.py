@@ -13,6 +13,12 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")  # before any device use
 jax.config.update("jax_num_cpu_devices", 1)
+# share the suite's persistent compile cache: worker compiles (window SfM
+# especially) dominate wall time, and under a loaded xdist run a cold
+# worker can blow the test's timeout — warm runs are replays
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu3drec_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np  # noqa: E402
 

@@ -94,6 +94,58 @@ class TestShardedBA:
             rtol=1e-3, atol=1e-6,  # atol: both converge to numerical zero
         )
 
+    def test_landmark_sharded_equals_unsharded(self, mesh8, rng):
+        """Landmark STATE partitioned over the mesh (VERDICT r2 item 8):
+        per-device points/V-blocks are 1/8 of the global problem, and the
+        solve matches the replicated-landmark solver."""
+        from tests.test_ba import _make_problem
+        from tpu3drec.parallel.ba_sharded import (
+            ba_solve_landmark_sharded, prepare_landmark_shards)
+        from tpu3drec.sfm.ba import ba_solve
+
+        # L=256 -> 32 landmarks per device; noise makes LM do real work
+        prob, _, _ = _make_problem(rng, F=6, L=256, perturb=0.01,
+                                   noise_px=0.3)
+        res_single = ba_solve(prob, max_lm_iters=6, cg_iters=12)
+        res_sharded = ba_solve_landmark_sharded(
+            prob, mesh8, axis="space", max_lm_iters=6, cg_iters=12)
+
+        np.testing.assert_allclose(
+            np.asarray(res_sharded.cam_params),
+            np.asarray(res_single.cam_params), atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_sharded.points),
+            np.asarray(res_single.points), atol=2e-3,
+        )
+        np.testing.assert_allclose(
+            float(res_sharded.final_cost), float(res_single.final_cost),
+            rtol=1e-3,
+        )
+
+    def test_landmark_shard_prep_routes_all_observations(self, rng):
+        """Every observation lands on its landmark's shard with the right
+        local index; padded slots carry weight 0."""
+        from tests.test_ba import _make_problem
+        from tpu3drec.parallel.ba_sharded import prepare_landmark_shards
+
+        prob, _, _ = _make_problem(rng, F=4, L=100)
+        parts = prepare_landmark_shards(prob, 8)
+        assert parts.Ls == 13  # ceil(100/8)
+        ci = parts.cam_idx.reshape(8, parts.Oc)
+        pl = parts.pt_idx_local.reshape(8, parts.Oc)
+        ww = parts.weight.reshape(8, parts.Oc)
+        # reconstruct global (cam, pt) pairs from the shard layout
+        got = set()
+        for s in range(8):
+            for o in range(parts.Oc):
+                if ww[s, o] > 0:
+                    got.add((int(ci[s, o]), s * parts.Ls + int(pl[s, o])))
+        expect = set(zip(np.asarray(prob.cam_idx).tolist(),
+                         np.asarray(prob.pt_idx).tolist()))
+        assert got == expect
+        assert float(ww.sum()) == float(np.asarray(prob.weight).sum())
+
 
 class TestShardedFusion:
     def test_frames_sharded_over_mesh(self, rng):

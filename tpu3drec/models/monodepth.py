@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from tpu3drec.core.se3 import axis_angle_to_matrix
+from tpu3drec.ops.quadpack import bilinear_sample_quad, quad_pack
 from tpu3drec.models.depth_decoder import DepthDecoder
 from tpu3drec.models.pose_net import PoseNet
 from tpu3drec.models.resnet import ResNetEncoder
@@ -68,46 +69,18 @@ def bilinear_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.nda
 
     img: (H, W, C); x, y: (H', W') absolute pixel coords. Equivalent to
     torch grid_sample(padding_mode="border") as used at `trainer.py:394-398`.
+    Implemented as one quad-packed gather (see `quad_pack`).
     """
-    H, W, C = img.shape
-    x = jnp.clip(x, 0.0, W - 1.0)
-    y = jnp.clip(y, 0.0, H - 1.0)
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    x1 = jnp.minimum(x0 + 1, W - 1.0)
-    y1 = jnp.minimum(y0 + 1, H - 1.0)
-    wx = x - x0
-    wy = y - y0
-
-    flat = img.reshape(H * W, C)
-
-    def gather(yy, xx):
-        idx = (yy * W + xx).astype(jnp.int32)
-        return flat[idx.reshape(-1)].reshape(x.shape + (C,))
-
-    v00 = gather(y0, x0)
-    v01 = gather(y0, x1)
-    v10 = gather(y1, x0)
-    v11 = gather(y1, x1)
-    wx = wx[..., None]
-    wy = wy[..., None]
-    return (
-        v00 * (1 - wx) * (1 - wy)
-        + v01 * wx * (1 - wy)
-        + v10 * (1 - wx) * wy
-        + v11 * wx * wy
-    )
+    return bilinear_sample_quad(quad_pack(img), x, y)
 
 
-def warp_frame(src: jnp.ndarray, depth: jnp.ndarray, T: jnp.ndarray,
-               fx, fy, cx, cy) -> jnp.ndarray:
+def warp_coords(depth: jnp.ndarray, T: jnp.ndarray, fx, fy, cx, cy):
     """Backproject target depth, transform by cam_T_cam, project into the
-    source camera, sample. src (N,H,W,C); depth (N,H,W); T (N,4,4).
+    source camera. depth (N,H,W); T (N,4,4) -> (px, py) each (N,H,W).
 
-    The BackprojectDepth/Project3D pipeline of `trainer.py:150-160,379-398`
-    fused into one function.
+    The BackprojectDepth/Project3D pipeline of `trainer.py:150-160,379-393`.
     """
-    N, H, W, _ = src.shape
+    N, H, W = depth.shape
     u = jax.lax.broadcasted_iota(depth.dtype, (H, W), 1)
     v = jax.lax.broadcasted_iota(depth.dtype, (H, W), 0)
     X = (u - cx) / fx * depth  # (N,H,W) broadcasting over frames
@@ -118,7 +91,27 @@ def warp_frame(src: jnp.ndarray, depth: jnp.ndarray, T: jnp.ndarray,
     z = jnp.maximum(Pc[..., 2], 1e-3)
     px = Pc[..., 0] / z * fx + cx
     py = Pc[..., 1] / z * fy + cy
+    return px, py
+
+
+def warp_frame(src: jnp.ndarray, depth: jnp.ndarray, T: jnp.ndarray,
+               fx, fy, cx, cy) -> jnp.ndarray:
+    """Backproject target depth, transform by cam_T_cam, project into the
+    source camera, sample. src (N,H,W,C); depth (N,H,W); T (N,4,4).
+
+    The BackprojectDepth/Project3D pipeline of `trainer.py:150-160,379-398`
+    fused into one function.
+    """
+    px, py = warp_coords(depth, T, fx, fy, cx, cy)
     return jax.vmap(bilinear_sample)(src, px, py)
+
+
+def warp_frame_quad(src_q: jnp.ndarray, depth: jnp.ndarray, T: jnp.ndarray,
+                    fx, fy, cx, cy) -> jnp.ndarray:
+    """`warp_frame` on a pre-quad-packed source (N,H,W,4C) — lets the loss
+    pack each source image ONCE and reuse it across all scales' warps."""
+    px, py = warp_coords(depth, T, fx, fy, cx, cy)
+    return jax.vmap(bilinear_sample_quad)(src_q, px, py)
 
 
 # --------------------------------------------------------------------- SSIM
@@ -249,6 +242,9 @@ def monodepth_loss(
     N, H, W, _ = target.shape
     total = 0.0
     aux = {}
+    # quad-pack every source ONCE; each of the len(scales) warps of a
+    # source then costs one point gather instead of four (see `quad_pack`)
+    sources_q = [jax.vmap(quad_pack)(src) for src in sources]
     ident = None
     if cfg.automask:
         # identity reprojection is scale-independent (always full-res
@@ -266,8 +262,8 @@ def monodepth_loss(
         _, depth = disp_to_depth(disp_full[..., 0], cfg.min_depth, cfg.max_depth)
 
         reproj = []
-        for src, T in zip(sources, frame_Ts):
-            pred = warp_frame(src, depth, T, cfg.fx, cfg.fy, cfg.cx, cfg.cy)
+        for src_q, T in zip(sources_q, frame_Ts):
+            pred = warp_frame_quad(src_q, depth, T, cfg.fx, cfg.fy, cfg.cx, cfg.cy)
             reproj.append(reprojection_loss(pred, target))
         reproj = jnp.stack(reproj, axis=0)  # (S,N,H,W)
 

@@ -342,6 +342,12 @@ def main(argv=None):
         pass
 
     p = argparse.ArgumentParser(prog="tpu3drec")
+    # platform override: the TPU relay in this class of deployment can
+    # wedge with no user-side reset (docs/design.md §6); --platform cpu
+    # keeps every pipeline drivable. Must be applied before first device
+    # use — env vars are too late because a sitecustomize pre-imports jax.
+    p.add_argument("--platform", default=None, choices=("cpu", "tpu", "axon"),
+                   help="force the jax platform (e.g. cpu when no device)")
     # multi-host runtime (SURVEY §5.8): on a TPU pod slice --distributed
     # alone discovers the topology; elsewhere pass the coordinator triple.
     # Every process runs the same command; sharded writers emit one
@@ -460,6 +466,10 @@ def main(argv=None):
     q.set_defaults(fn=_cmd_ply2bt)
 
     args = p.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     if args.distributed or args.coordinator:
         from tpu3drec.parallel.multihost import init_distributed
 

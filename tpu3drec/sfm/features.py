@@ -28,6 +28,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from tpu3drec.ops.quadpack import quad_gather, quad_pack
+
 
 # ------------------------------------------------------------ scale pyramid
 
@@ -309,14 +311,17 @@ def describe_keypoints(
     grid around each keypoint (bilinear), gradients soft-binned into a
     4x4 spatial x 8 orientation histogram."""
     H, W = img.shape
-    # gx/gy interleaved on a trailing dim: each bilinear corner fetch is
-    # ONE gather of 2-vectors instead of two scalar gathers. (A full
-    # 2x2x2 block gather via lax.gather was tried and OOMs: XLA copies
-    # the operand into a layout with the size-2 dims minor, a 64x padded
-    # 64 GB allocation. Scalar-point gathers keep the natural layout.)
+    # gx/gy interleaved on a trailing dim, then quad-packed (ops/quadpack):
+    # all FOUR bilinear corners of both gradient channels arrive in ONE
+    # point gather of an 8-vector. The gather unit is row-latency-bound,
+    # so this is ~4x fewer rows than corner-wise gathers. (A 2x2x2 block
+    # gather via lax.gather was tried and OOMs: XLA copies the operand
+    # into a layout with the size-2 dims minor, a 64x padded 64 GB
+    # allocation. Trailing-dim packing keeps the natural layout.)
     g_img = jnp.stack(
         [(jnp.roll(img, -1, 1) - jnp.roll(img, 1, 1)) * 0.5,
          (jnp.roll(img, -1, 0) - jnp.roll(img, 1, 0)) * 0.5], axis=-1)
+    g_q = quad_pack(g_img)  # (H, W, 8)
 
     # 16x16 sample grid in normalized patch coords [-1, 1)
     n = 4 * patch_grid
@@ -337,13 +342,12 @@ def describe_keypoints(
         wx = (xs - x0)[..., None]
         wy = (ys - y0)[..., None]
 
-        x1 = jnp.minimum(x0 + 1, W - 1)
-        y1 = jnp.minimum(y0 + 1, H - 1)
+        v00, v01, v10, v11 = quad_gather(g_q, y0, x0)
         g = (
-            g_img[y0, x0] * (1 - wx) * (1 - wy)
-            + g_img[y0, x1] * wx * (1 - wy)
-            + g_img[y1, x0] * (1 - wx) * wy
-            + g_img[y1, x1] * wx * wy
+            v00 * (1 - wx) * (1 - wy)
+            + v01 * wx * (1 - wy)
+            + v10 * (1 - wx) * wy
+            + v11 * wx * wy
         )  # (..., 2)
         gx = g[..., 0]
         gy = g[..., 1]
@@ -367,13 +371,13 @@ def _describe_on_stack(G: jnp.ndarray, xy: jnp.ndarray, s_idx: jnp.ndarray,
     octaves (a blob twice as large, detected one octave up, sees the same
     patch)."""
     S1, H, W = G.shape
-    # interleaved gx/gy: one gather of 2-vectors per bilinear corner (see
-    # describe_keypoints)
-    # interleaved gx/gy: one gather of 2-vectors per bilinear corner (see
-    # describe_keypoints for why NOT a block gather)
+    # interleaved gx/gy, quad-packed per scale slice: the four bilinear
+    # corners of both gradient channels in ONE point gather of an 8-vector
+    # (see describe_keypoints / ops/quadpack for why NOT a block gather)
     g_st = jnp.stack(
         [(jnp.roll(G, -1, 2) - jnp.roll(G, 1, 2)) * 0.5,
          (jnp.roll(G, -1, 1) - jnp.roll(G, 1, 1)) * 0.5], axis=-1)
+    g_q = jax.vmap(quad_pack)(g_st)  # (S1, H, W, 8)
 
     n = 4 * patch_grid
     lin = (jnp.arange(n) + 0.5) / n * 2.0 - 1.0
@@ -391,13 +395,13 @@ def _describe_on_stack(G: jnp.ndarray, xy: jnp.ndarray, s_idx: jnp.ndarray,
         wx = (xs - x0)[..., None]
         wy = (ys - y0)[..., None]
 
-        x1 = jnp.minimum(x0 + 1, W - 1)
-        y1 = jnp.minimum(y0 + 1, H - 1)
+        v = g_q[s, y0, x0]  # (..., 8): one gather for all four corners
+        v00, v01, v10, v11 = v[..., :2], v[..., 2:4], v[..., 4:6], v[..., 6:]
         g = (
-            g_st[s, y0, x0] * (1 - wx) * (1 - wy)
-            + g_st[s, y0, x1] * wx * (1 - wy)
-            + g_st[s, y1, x0] * (1 - wx) * wy
-            + g_st[s, y1, x1] * wx * wy
+            v00 * (1 - wx) * (1 - wy)
+            + v01 * wx * (1 - wy)
+            + v10 * (1 - wx) * wy
+            + v11 * wx * wy
         )  # (..., 2)
         gx = g[..., 0]
         gy = g[..., 1]
