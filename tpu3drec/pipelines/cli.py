@@ -256,6 +256,28 @@ def _cmd_occupancy(args):
     print(f"wrote {args.out}: {n} nodes")
 
 
+def _cmd_serve(args):
+    import json as _json
+
+    from tpu3drec.data.stream import FrameStreamServer, stream_fuse
+    from tpu3drec.utils.config import RGBDPipelineConfig, from_dict
+
+    if args.config:
+        with open(args.config) as f:
+            cfg = from_dict(RGBDPipelineConfig, _json.load(f))
+    else:
+        cfg = RGBDPipelineConfig()
+    if args.out_ply:
+        cfg.out_ply = args.out_ply
+    if args.out_bt:
+        cfg.out_bt = args.out_bt
+    server = FrameStreamServer(port=args.port)
+    print(f"listening on port {server.port}", flush=True)
+    res = stream_fuse(server, cfg, batch=args.batch, verbose=True)
+    print(f"stream done: {res.n_frames} frames -> {res.n_points} points, "
+          f"{res.n_voxels} voxels")
+
+
 def _cmd_ply2bt(args):
     from tpu3drec.mapping.btio import write_bt
     from tpu3drec.mapping.voxel import dedup_voxels_host
@@ -464,6 +486,18 @@ def main(argv=None):
     q.add_argument("--out", required=True)
     q.add_argument("--max-points", dest="max_points", type=int, default=0)
     q.set_defaults(fn=_cmd_ply2bt)
+
+    q = sub.add_parser(
+        "serve", help="listen for a live RGB-D frame stream and fuse it "
+        "(the AirSim-capture ingestion role, ref/airsim/main.cpp:1369-1392)")
+    q.add_argument("--config")
+    q.add_argument("--port", type=int, default=0,
+                   help="TCP port (0 = ephemeral, printed on start)")
+    q.add_argument("--batch", type=int, default=4,
+                   help="frames per device dispatch")
+    q.add_argument("--out-ply", dest="out_ply")
+    q.add_argument("--out-bt", dest="out_bt")
+    q.set_defaults(fn=_cmd_serve)
 
     args = p.parse_args(argv)
     if args.platform:

@@ -33,7 +33,15 @@ class KittiRunConfig:
     pose_graph: bool = True   # GN pose-graph refinement over window edges
     loop_closure: bool = True # detect + verify revisits, add closure edges
     lc_min_gap: int = 10      # min frame separation for a closure candidate
-    lc_sim: float = 0.85      # global-descriptor similarity gate
+    lc_sim: float = 0.85      # global-descriptor similarity gate (mean-pool)
+    lc_method: str = "vlad"   # retrieval: "vlad" (k-means vocab + VLAD,
+                              # wider revisit margins — the COLMAP
+                              # vocab-tree analogue) or "mean" (round-1
+                              # mean pooling). vlad became the default in
+                              # round 3 once the PnP registration ladder
+                              # removed the split-island failure mode that
+                              # made relocalization anchor-set-sensitive
+                              # (ROUND_NOTES round 2).
     seed: int = 0
     verbose: bool = False
     parallel_windows: int = 1  # >1: reconstruct this many windows
@@ -434,6 +442,7 @@ def _closure_edges(images, K, Ts, cfg, depth_maps=None):
     closures = detect_loop_closures(
         descs, kps.valid, np.asarray(kps.xy), K,
         min_gap=cfg.lc_min_gap, sim_threshold=cfg.lc_sim, seed=cfg.seed,
+        method=cfg.lc_method,
     )
     edges = []
     for c in closures:

@@ -261,44 +261,85 @@ def run_sfm(
 
     # 4. incremental registration; two passes so frames that lacked
     # landmarks on the first visit get a second chance after BA
+    def _gather_2d3d(f):
+        X2d, X3d = [], []
+        for tid, obs in tracks.items():
+            if tid in rec.points and f in obs:
+                X3d.append(rec.points[tid])
+                X2d.append(xy[f, obs[f]])
+        return X3d, X2d
+
+    def _try_pnp(f, X3d, X2d):
+        """Registration ladder: 3px gate at 30% consensus, then a 6px gate
+        at 60% consensus. Frontier landmarks triangulated from short
+        baselines carry depth noise that projects to >3px in a new view
+        even under the TRUE pose (measured on the occluded orbit: median
+        4.5px under GT — the hard 3px gate split the window into two
+        islands only loop closure could rejoin, while a 6px PnP on
+        BA-polished landmarks lands 0.4 deg / 109-of-110 from GT). COLMAP
+        registers at abs_pose max_error 12px for the same reason; the
+        looser gate demands a much STRONGER consensus so wrong-basin poses
+        stay rejected."""
+        n = len(X3d)
+        cap = max(64, 1 << (n - 1).bit_length())
+        Xp = np.zeros((cap, 3), np.float32)
+        up = np.zeros((cap, 2), np.float32)
+        vm = np.zeros(cap, bool)
+        Xp[:n] = np.asarray(X3d)
+        up[:n] = np.asarray(X2d)
+        vm[:n] = True
+        res = pnp_ransac(
+            jnp.asarray(Xp), jnp.asarray(up), jnp.asarray(vm),
+            jnp.asarray(rec.K), rngs[f],
+        )
+        n_inl = int(res.n_inliers)
+        if n_inl >= max(8, int(0.3 * n)):
+            return res, n_inl, False
+        res2 = pnp_ransac(
+            jnp.asarray(Xp), jnp.asarray(up), jnp.asarray(vm),
+            jnp.asarray(rec.K), rngs[F + 2 + (f % 6)], inlier_px=6.0,
+        )
+        n2 = int(res2.n_inliers)
+        if n2 >= max(12, int(0.6 * n)):
+            return res2, n2, True
+        if verbose:
+            print(f"[sfm] frame {f}: PnP rejected "
+                  f"({n_inl}/{n} at 3px, {n2}/{n} at 6px)")
+        return None, n_inl, False
+
+    ba_retry_done: set = set()
     for _pass in range(2):
         for f in range(F):
             if f in rec.poses:
                 continue
-            X2d, X3d, tids = [], [], []
-            for tid, obs in tracks.items():
-                if tid in rec.points and f in obs:
-                    X3d.append(rec.points[tid])
-                    X2d.append(xy[f, obs[f]])
-                    tids.append(tid)
+            X3d, X2d = _gather_2d3d(f)
             if len(X3d) < 8:
                 if verbose:
                     print(f"[sfm] frame {f}: only {len(X3d)} 2D-3D, skipping")
                 continue
-            n = len(X3d)
-            cap = max(64, 1 << (n - 1).bit_length())
-            Xp = np.zeros((cap, 3), np.float32)
-            up = np.zeros((cap, 2), np.float32)
-            vm = np.zeros(cap, bool)
-            Xp[:n] = np.asarray(X3d)
-            up[:n] = np.asarray(X2d)
-            vm[:n] = True
-            res = pnp_ransac(
-                jnp.asarray(Xp), jnp.asarray(up), jnp.asarray(vm),
-                jnp.asarray(rec.K), rngs[f],
-            )
-            n_inl = int(res.n_inliers)
-            if n_inl < max(8, int(0.3 * n)):
-                if verbose:
-                    print(f"[sfm] frame {f}: PnP rejected ({n_inl}/{n} inliers)")
+            res, n_inl, loose = _try_pnp(f, X3d, X2d)
+            if res is None and len(X3d) >= 30 and f not in ba_retry_done:
+                # the ladder measured its GT-consistency on BA-POLISHED
+                # landmarks; raw frontier points can be 2-3x noisier. One
+                # polish + retriangulate + retry per frame.
+                ba_retry_done.add(f)
+                _run_ba(rec, tracks, xy, depth_maps, depth_weight)
+                X3d, X2d = _gather_2d3d(f)
+                if len(X3d) >= 8:
+                    res, n_inl, loose = _try_pnp(f, X3d, X2d)
+                    if res is not None and verbose:
+                        print(f"[sfm] frame {f}: registered after BA retry")
+            if res is None:
                 continue
             rec.poses[f] = (np.asarray(res.R), np.asarray(res.t))
             _triangulate_new(rec, tracks, xy, min_track_len)
 
-            if (len(rec.poses) % ba_every == 0):
+            # a loose-gate acceptance leans on BA to pull landmark depths
+            # to the new multi-view consensus immediately
+            if loose or (len(rec.poses) % ba_every == 0):
                 _run_ba(rec, tracks, xy, depth_maps, depth_weight)
             if verbose:
-                print(f"[sfm] frame {f}: {n_inl}/{n} PnP inliers, "
+                print(f"[sfm] frame {f}: {n_inl}/{len(X3d)} PnP inliers, "
                       f"{len(rec.points)} landmarks")
 
     _run_ba(rec, tracks, xy, depth_maps, depth_weight)
