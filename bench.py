@@ -29,33 +29,62 @@ _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
 import numpy as np
 
 
-def _device_watchdog(timeout_s: float = 300.0) -> None:
+def _fail_line(msg: str, code: int = 2) -> None:
+    print(json.dumps({
+        "metric": "rgbd_fusion_frames_per_s",
+        "value": 0,
+        "unit": "frames/s",
+        "vs_baseline": 0,
+        "error": msg,
+    }))
+    os._exit(code)
+
+
+def _device_watchdog(timeout_s: float = 240.0, retries: int = 1,
+                     budget_s: float = 1500.0) -> None:
     """Fail FAST with one parseable JSON line if the device never responds.
-    The relay runtime can wedge (observed round 2: a pathological Pallas
-    compile left even trivial dispatches hanging forever); a hang here
-    would eat the driver's whole bench budget silently."""
-    import threading
 
-    done = threading.Event()
+    The relay runtime can wedge (round 2: a pathological Pallas compile
+    left even trivial dispatches hanging forever — and the wedge persisted
+    across the round boundary into round-3 judging); a hang here would eat
+    the driver's whole bench budget silently. Two layers:
 
-    def probe():
-        import jax.numpy as jnp
+    1. a KILLABLE subprocess probe (tools/relay_probe.py) with retry —
+       a wedged relay never blocks this process;
+    2. a global SIGALRM deadline on the whole bench: even if the relay
+       wedges MID-bench (after a healthy probe), one parseable line still
+       lands before the driver's budget burns.
+    """
+    import signal
+    import subprocess
 
-        (jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready()
-        done.set()
+    probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tools", "relay_probe.py")
+    for attempt in range(retries + 1):
+        try:
+            r = subprocess.run([sys.executable, probe],
+                               capture_output=True, text=True,
+                               timeout=timeout_s)
+            if r.returncode == 0:
+                sys.stderr.write(f"[bench] probe: {r.stdout.strip()}\n")
+                break
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(
+                f"[bench] probe attempt {attempt + 1} timed out "
+                f"({timeout_s:.0f}s)\n")
+        if attempt == retries:
+            _fail_line(
+                f"device unresponsive after {retries + 1} x {timeout_s:.0f}s "
+                "subprocess probes (relay wedge — see docs/design.md §6)")
+        time.sleep(30.0)
 
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    if not done.wait(timeout_s):
-        print(json.dumps({
-            "metric": "rgbd_fusion_frames_per_s",
-            "value": 0,
-            "unit": "frames/s",
-            "vs_baseline": 0,
-            "error": f"device unresponsive after {timeout_s:.0f}s "
-                     "(relay wedge — see docs/design.md §6)",
-        }))
-        os._exit(2)
+    def on_alarm(signum, frame):
+        _fail_line(
+            f"bench exceeded {budget_s:.0f}s global deadline "
+            "(relay wedged mid-bench — see docs/design.md §6)", code=3)
+
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(int(budget_s))
 
 
 def main() -> None:

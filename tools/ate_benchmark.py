@@ -1,0 +1,264 @@
+"""North-star ATE benchmark: 500+ frame synthetic KITTI-layout sequences
+through the full windowed SfM pipeline (VERDICT r2 item 5).
+
+Real KITTI data is not in this container (the reference ships none either —
+`ref/data/` is a .md + diagram); these sequences approximate real-image
+statistics the way the reference's own evaluation cannot be reproduced
+without the dataset: ray-cast textured urban geometry with genuine
+occlusion, per-frame exposure gain/bias jitter, sensor noise, and noisy
+metric depth priors (the RGB-D / learned-depth configuration of
+`ref/readme.md` §2(1)). The trajectory closes a city-block loop so loop
+closure + pose-graph distribution are exercised at length.
+
+Per sequence: run `run_windowed_sfm` (loop closures, depth-prior metric
+scale), evaluate ATE/RPE vs ground truth, and emit a per-sequence table row
+(the BASELINE.md "KITTI odometry seq 00-10 within reference ATE" analogue).
+Results land in docs/ate_table.md + a JSON record.
+
+Usage:
+  python tools/ate_benchmark.py --frames 500 --seqs s00 s01 --out docs
+  python tools/ate_benchmark.py --frames 120 --seqs s00 --quick  # smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+# KITTI-like geometry at half resolution (CPU-tractable rendering +
+# front end; the pipeline itself is resolution-agnostic)
+WIDTH, HEIGHT = 640, 192
+FX = 718.856 / 1241.0 * WIDTH   # KITTI seq-00 P0 scaled
+FY = 718.856 / 376.0 * HEIGHT
+CX, CY = 0.489 * WIDTH, 0.493 * HEIGHT
+
+SEQ_LAYOUTS = {
+    # name -> (scene seed, n_boxes, block half-extents (x, z) in metres)
+    "s00": (11, 26, (42.0, 60.0)),
+    "s01": (23, 32, (55.0, 40.0)),
+    "s02": (37, 22, (35.0, 35.0)),
+}
+
+
+def city_block_trajectory(n_frames: int, ext_x: float, ext_z: float,
+                          speed: float = 1.06):
+    """Rounded-rectangle drive returning to the start: four straights +
+    four 90-degree turns (world->cam (R, t) pairs, KITTI convention: x
+    right, y down, z forward)."""
+    from scipy.spatial.transform import Rotation as ScipyR
+
+    # perimeter path on the (x, z) plane
+    per = 2 * (2 * ext_x + 2 * ext_z)
+    s_vals = np.linspace(0.0, per, n_frames, endpoint=False)
+    # param: rectangle with corner radius r
+    r = min(ext_x, ext_z) * 0.35
+    sx, sz = ext_x - r, ext_z - r
+
+    def point(s):
+        # walk the rounded rectangle counterclockwise from (-sx, -ext_z)
+        segs = [
+            (2 * sx, lambda u: (np.array([-sx + u, -ext_z]), 0.0)),
+            (np.pi / 2 * r, lambda u: _corner(u, r, (sx, -sz), -np.pi / 2)),
+            (2 * sz, lambda u: (np.array([ext_x, -sz + u]), np.pi / 2)),
+            (np.pi / 2 * r, lambda u: _corner(u, r, (sx, sz), 0.0)),
+            (2 * sx, lambda u: (np.array([sx - u, ext_z]), np.pi)),
+            (np.pi / 2 * r, lambda u: _corner(u, r, (-sx, sz), np.pi / 2)),
+            (2 * sz, lambda u: (np.array([-ext_x, sz - u]), -np.pi / 2)),
+            (np.pi / 2 * r, lambda u: _corner(u, r, (-sx, -sz), np.pi)),
+        ]
+        for length, fn in segs:
+            if s <= length:
+                return fn(s)
+            s -= length
+        return segs[-1][1](length)
+
+    def _corner(u, r, c, phi0):
+        a = phi0 + u / r
+        p = np.array([c[0] + r * np.cos(a), c[1] + r * np.sin(a)])
+        return p, a + np.pi / 2
+
+    poses = []
+    for s in s_vals * speed % per:
+        p, heading = point(float(s))
+        # camera looks along +z rotated by heading about y (KITTI frame)
+        R = ScipyR.from_rotvec([0.0, -heading, 0.0]).as_matrix()
+        C = np.array([p[0], -1.6, p[1]])  # 1.6 m above ground (y down)
+        poses.append((R.astype(np.float32), (-R @ C).astype(np.float32)))
+    return poses
+
+
+def build_scene(seed: int, n_boxes: int, ext):
+    """Urban canyon around the block: textured ground + buildings lining
+    BOTH sides of the street ring (an ~8 m corridor stays clear for the
+    camera), so every straight and corner sees occluding structure."""
+    from tpu3drec.data.capture_sim import PlanarScene
+
+    rng = np.random.default_rng(seed)
+    ex, ez = ext
+    E = max(ex, ez) * 1.5
+    mk = PlanarScene._make_quad
+    quads = [mk(rng, [-E, 0.0, -E], [2 * E, 0, 0], [0, 0, 2 * E], n_tex=10)]
+
+    def ring_dist(px, pz):
+        # unsigned distance to the rectangle perimeter (street centerline)
+        qx, qz = abs(px) - ex, abs(pz) - ez
+        outside = np.hypot(max(qx, 0.0), max(qz, 0.0))
+        inside = min(max(qx, qz), 0.0)
+        return abs(outside + inside)
+
+    placed = 0
+    guard = 0
+    while placed < n_boxes and guard < 50 * n_boxes:
+        guard += 1
+        px = rng.uniform(-1.35 * ex, 1.35 * ex)
+        pz = rng.uniform(-1.35 * ez, 1.35 * ez)
+        d = ring_dist(px, pz)
+        if not (6.0 < d < 26.0):
+            continue
+        w = rng.uniform(4.0, 12.0)
+        h = rng.uniform(4.0, 16.0)
+        dd = rng.uniform(4.0, 12.0)
+        x0, x1 = px - w / 2, px + w / 2
+        y0, y1 = -h, 0.0
+        z0, z1 = pz - dd / 2, pz + dd / 2
+        quads += [
+            mk(rng, [x0, y1, z0], [x1 - x0, 0, 0], [0, y0 - y1, 0]),
+            mk(rng, [x0, y1, z1], [x1 - x0, 0, 0], [0, y0 - y1, 0]),
+            mk(rng, [x0, y1, z0], [0, 0, z1 - z0], [0, y0 - y1, 0]),
+            mk(rng, [x1, y1, z0], [0, 0, z1 - z0], [0, y0 - y1, 0]),
+            mk(rng, [x0, y0, z0], [x1 - x0, 0, 0], [0, 0, z1 - z0]),
+        ]
+        placed += 1
+    return PlanarScene(quads=quads)
+
+
+def render_sequence(name: str, n_frames: int, noise: bool = True,
+                    cache_dir: str | None = None):
+    """Returns (images (F,H,W) float, depths (F,H,W) float, gt_T (F,4,4))."""
+    from tpu3drec.utils.config import CameraConfig
+
+    seed, n_boxes, ext = SEQ_LAYOUTS[name]
+    cache = None
+    if cache_dir:
+        cache = os.path.join(
+            cache_dir, f"ate_{name}_{n_frames}_{int(noise)}.npz")
+        if os.path.exists(cache):
+            z = np.load(cache)
+            return z["images"], z["depths"], z["gt_T"]
+    scene = build_scene(seed, n_boxes, ext)
+    cam = CameraConfig(fx=FX, fy=FY, cx=CX, cy=CY, width=WIDTH, height=HEIGHT)
+    poses = city_block_trajectory(n_frames, *ext)
+    rng = np.random.default_rng(seed + 1)
+    images, depths, gt_T = [], [], []
+    for f, (R, t) in enumerate(poses):
+        rgb, d = scene.render(R, t, cam, max_depth=120.0)
+        g = rgb.mean(-1).astype(np.float32) / 255.0
+        if noise:
+            # exposure jitter (per-frame gain/bias) + sensor noise — the
+            # real-image statistics VERDICT r2 missing-item 2 names
+            gain = 1.0 + 0.12 * rng.standard_normal()
+            bias = 0.03 * rng.standard_normal()
+            g = np.clip(g * gain + bias
+                        + 0.01 * rng.standard_normal(g.shape), 0, 1)
+            # noisy sparse depth prior: 1% multiplicative noise, 35% dropout
+            # (what a projected LiDAR / learned-depth prior looks like)
+            keep = rng.uniform(size=d.shape) > 0.35
+            d = np.where(keep, d * (1 + 0.01 * rng.standard_normal(d.shape)),
+                         0.0).astype(np.float32)
+        images.append(g.astype(np.float32))
+        depths.append(d)
+        T = np.eye(4)
+        T[:3, :3] = R.T
+        T[:3, 3] = -R.T @ t
+        gt_T.append(T)
+    images, depths, gt_T = (np.stack(images), np.stack(depths),
+                            np.stack(gt_T).astype(np.float64))
+    if cache:
+        np.savez_compressed(cache, images=images, depths=depths, gt_T=gt_T)
+    return images, depths, gt_T
+
+
+def run_sequence(name: str, n_frames: int, max_keypoints: int = 512,
+                 window: int = 12, stride: int = 7, depth_priors: bool = True,
+                 cache_dir: str | None = "/tmp"):
+    from tpu3drec.pipelines.kitti import (
+        KittiRunConfig, evaluate_sequence, run_windowed_sfm)
+
+    images, depths, gt_T = render_sequence(name, n_frames,
+                                           cache_dir=cache_dir)
+    K = np.array([[FX, 0, CX], [0, FY, CY], [0, 0, 1]], np.float32)
+    cfg = KittiRunConfig(window=window, stride=stride,
+                         max_keypoints=max_keypoints, loop_closure=True,
+                         lc_min_gap=30)
+    t0 = time.time()
+    Ts, _ = run_windowed_sfm(images, K, cfg,
+                             depth_maps=depths if depth_priors else None)
+    wall = time.time() - t0
+    m = evaluate_sequence(Ts, gt_T)
+    m["seq"] = name
+    m["frames"] = n_frames
+    m["wall_s"] = round(wall, 1)
+    m["frames_per_s"] = round(n_frames / wall, 2)
+    m["ate_pct_traj"] = round(100.0 * m["ate_rms"] / m["traj_len"], 2)
+    for k in ("ate_rms", "rpe_trans", "rpe_rot", "coverage", "traj_len"):
+        m[k] = round(float(m[k]), 4)
+    return m
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--frames", type=int, default=500)
+    p.add_argument("--seqs", nargs="+", default=["s00", "s01", "s02"])
+    p.add_argument("--max-keypoints", type=int, default=512)
+    p.add_argument("--out", default="docs")
+    p.add_argument("--no-depth-priors", action="store_true")
+    p.add_argument("--platform", default=None)
+    args = p.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/tpu3drec_xla"))
+
+    rows = []
+    for name in args.seqs:
+        print(f"[ate] running {name} ({args.frames} frames)...", flush=True)
+        m = run_sequence(name, args.frames,
+                         max_keypoints=args.max_keypoints,
+                         depth_priors=not args.no_depth_priors)
+        rows.append(m)
+        print(json.dumps(m), flush=True)
+
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "ate_table.json"), "w") as f:
+        json.dump(rows, f, indent=1)
+    with open(os.path.join(args.out, "ate_table.md"), "w") as f:
+        f.write("# Per-sequence ATE (synthetic KITTI-layout, windowed SfM "
+                "+ loop closure + depth priors)\n\n")
+        f.write(f"Generated by tools/ate_benchmark.py; {args.frames} frames"
+                f"/seq at {WIDTH}x{HEIGHT}, K={args.max_keypoints}, "
+                "exposure jitter + sensor noise + 35%-dropout depth "
+                "priors.\n\n")
+        f.write("| seq | frames | coverage | ATE rms [m] | ATE %traj | "
+                "RPE trans | RPE rot | wall [s] | frames/s |\n")
+        f.write("|---|---|---|---|---|---|---|---|---|\n")
+        for m in rows:
+            f.write(f"| {m['seq']} | {m['frames']} | {m['coverage']:.3f} | "
+                    f"{m['ate_rms']:.3f} | {m['ate_pct_traj']:.2f}% | "
+                    f"{m['rpe_trans']:.4f} | {m['rpe_rot']:.4f} | "
+                    f"{m['wall_s']} | {m['frames_per_s']} |\n")
+    print(f"table -> {args.out}/ate_table.md")
+
+
+if __name__ == "__main__":
+    main()
