@@ -220,24 +220,64 @@ def main():
     p.add_argument("--out", default="docs")
     p.add_argument("--no-depth-priors", action="store_true")
     p.add_argument("--platform", default=None)
+    p.add_argument("--nproc", type=int, default=1,
+                   help=">1: run as N jax.distributed processes — "
+                   "run_windowed_sfm shards windows across them "
+                   "(parallel/multihost.py process_slice)")
+    p.add_argument("--worker", type=int, default=None)   # internal
+    p.add_argument("--coord", default=None)              # internal
     args = p.parse_args()
+
+    if args.nproc > 1 and args.worker is None:
+        # parent: spawn the workers and wait (each is one "host")
+        import socket
+        import subprocess
+
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        procs = [
+            subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__)]
+                + sys.argv[1:]
+                + ["--worker", str(i), "--coord", f"localhost:{port}"])
+            for i in range(args.nproc)
+        ]
+        rc = max(pr.wait() for pr in procs)
+        sys.exit(rc)
+
     if args.platform:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
     import jax
 
+    if args.worker is not None:
+        jax.config.update("jax_num_cpu_devices", 1)
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/tpu3drec_xla"))
+    if args.worker is not None:
+        from tpu3drec.parallel.multihost import init_distributed
+
+        assert init_distributed(args.coord, args.nproc, args.worker)
 
     rows = []
+    import jax as _jax
+
+    is_writer = _jax.process_index() == 0
     for name in args.seqs:
-        print(f"[ate] running {name} ({args.frames} frames)...", flush=True)
+        if is_writer:
+            print(f"[ate] running {name} ({args.frames} frames)...",
+                  flush=True)
         m = run_sequence(name, args.frames,
                          max_keypoints=args.max_keypoints,
                          depth_priors=not args.no_depth_priors)
+        m["nproc"] = max(args.nproc, 1)
         rows.append(m)
-        print(json.dumps(m), flush=True)
+        if is_writer:
+            print(json.dumps(m), flush=True)
+    if not is_writer:
+        return
 
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "ate_table.json"), "w") as f:
@@ -249,11 +289,12 @@ def main():
                 f"/seq at {WIDTH}x{HEIGHT}, K={args.max_keypoints}, "
                 "exposure jitter + sensor noise + 35%-dropout depth "
                 "priors.\n\n")
-        f.write("| seq | frames | coverage | ATE rms [m] | ATE %traj | "
-                "RPE trans | RPE rot | wall [s] | frames/s |\n")
-        f.write("|---|---|---|---|---|---|---|---|---|\n")
+        f.write("| seq | frames | hosts | coverage | ATE rms [m] | "
+                "ATE %traj | RPE trans | RPE rot | wall [s] | frames/s |\n")
+        f.write("|---|---|---|---|---|---|---|---|---|---|\n")
         for m in rows:
-            f.write(f"| {m['seq']} | {m['frames']} | {m['coverage']:.3f} | "
+            f.write(f"| {m['seq']} | {m['frames']} | {m['nproc']} | "
+                    f"{m['coverage']:.3f} | "
                     f"{m['ate_rms']:.3f} | {m['ate_pct_traj']:.2f}% | "
                     f"{m['rpe_trans']:.4f} | {m['rpe_rot']:.4f} | "
                     f"{m['wall_s']} | {m['frames_per_s']} |\n")

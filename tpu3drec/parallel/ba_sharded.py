@@ -28,7 +28,6 @@ colmap使用.docx` §2.5) with a multi-chip solver.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

@@ -120,6 +120,11 @@ def run_sfm(
                                            # per-obs depth priors -> metric
                                            # reconstruction (0 = no return)
     depth_weight: float = 2.0,
+    features=None,  # optional precomputed (Keypoints, descs) for the same
+                    # frames — the windowed driver detects the WHOLE
+                    # sequence once and slices per window (overlapping
+                    # windows + loop closure otherwise re-detect every
+                    # shared frame ~2.5x)
     verbose: bool = False,
 ) -> Reconstruction:
     """Full incremental reconstruction of a sequential image set."""
@@ -130,10 +135,17 @@ def run_sfm(
     rec = Reconstruction(K=np.asarray(K, np.float32))
 
     # 1. detection + description, batched over frames
-    detect_batch = jax.vmap(
-        lambda im: detect_and_describe(im, max_keypoints=max_keypoints, upright=upright)
-    )
-    kps, descs = detect_batch(jnp.asarray(images, dtype=jnp.float32))
+    if features is not None:
+        kps, descs = features
+        # precomputed features arrive as host arrays; the matcher indexes
+        # them with traced pair ids, which requires device arrays
+        kps = jax.tree_util.tree_map(jnp.asarray, kps)
+        descs = jnp.asarray(descs)
+    else:
+        detect_batch = jax.vmap(
+            lambda im: detect_and_describe(im, max_keypoints=max_keypoints, upright=upright)
+        )
+        kps, descs = detect_batch(jnp.asarray(images, dtype=jnp.float32))
     xy = np.asarray(kps.xy)          # (F, Kp, 2)
     valid = np.asarray(kps.valid)
     rec.keypoints = xy
