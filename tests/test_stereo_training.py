@@ -105,3 +105,21 @@ class TestStereoTraining:
         p1 = jax.tree_util.tree_leaves(variables["params"])
         for a, b in zip(p0, p1):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_stereo_convergence_smoke(tmp_path):
+    """Short tools/stereo_convergence.py run: supervised PSMNet training
+    must drive loss and end-point-error down vs the untrained net."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from tools.stereo_convergence import run
+
+    s = run(steps=30, height=48, width=96, batch=2,
+            out_dir=str(tmp_path / "st"), max_disp=16, n_frames=8,
+            eval_every=15)
+    assert s["loss_last"] < 0.5 * s["loss_first"], s
+    assert s["final_epe_px"] < s["init_epe_px"], s
