@@ -7,7 +7,12 @@ of the PLY/.bt artifacts; process 0 merges.
 Usage: python tests/multihost_worker.py <coordinator> <nproc> <pid> <outdir>
 """
 
+import os
 import sys
+
+# the repo root, regardless of the caller's cwd/site-packages state:
+# running this file as a script puts tests/ (not the repo) on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
