@@ -77,7 +77,7 @@ def bench_icp_nn():
     """ICP NN search 65k x 65k: XLA blocked scan vs Pallas kernel."""
     import jax.numpy as jnp
 
-    from tpu3drec.sfm.icp import nearest_neighbors
+    from tpu3drec.sfm.icp import _nearest_neighbors_scan
     from tpu3drec.ops.icp_nn import nearest_neighbors_pallas
     from tpu3drec.utils.profiling import time_device_loop
 
@@ -86,7 +86,10 @@ def bench_icp_nn():
     r = jnp.asarray(rng.normal(size=(65536, 3)).astype(np.float32))
 
     out = {}
-    for label, fn in (("xla", nearest_neighbors),
+    # the scan explicitly: production nearest_neighbors now dispatches to
+    # the Pallas kernel on TPU (round 3), so the public name would compare
+    # the kernel against itself
+    for label, fn in (("xla", _nearest_neighbors_scan),
                       ("pallas", nearest_neighbors_pallas)):
         def body(i, carry, fn=fn):
             c, acc = carry

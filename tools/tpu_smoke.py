@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import sys
 
+sys.path.insert(0, __file__.rsplit("/", 2)[0])  # repo root (for `tools.*`)
+
 import numpy as np
 
 

@@ -376,17 +376,18 @@ def closure_metric_magnitude(c, K: np.ndarray,
 
     Returns None when too few matches carry usable depth (caller falls
     back to the estimate-derived magnitude)."""
-    import jax.numpy as jnp
-
-    from tpu3drec.sfm.triangulate import projection_matrix, triangulate_two_view
+    from tpu3drec.sfm.triangulate import triangulate_two_view_np
 
     if len(c.uv_i) < 5:
         return None
-    Kj = jnp.asarray(K, jnp.float32)
-    P1 = projection_matrix(jnp.eye(3), jnp.zeros(3), Kj)
-    P2 = projection_matrix(jnp.asarray(c.R_rel), jnp.asarray(c.t_dir), Kj)
-    X = np.asarray(triangulate_two_view(P1, P2, jnp.asarray(c.uv_i),
-                                        jnp.asarray(c.uv_j)))
+    # host-numpy: per-closure match counts differ every call; the device
+    # path compiles one executable per unique N (see triangulate_two_view_np)
+    Kn = np.asarray(K, np.float32)
+    P1 = Kn @ np.concatenate([np.eye(3, dtype=np.float32),
+                              np.zeros((3, 1), np.float32)], axis=1)
+    P2 = Kn @ np.concatenate([np.asarray(c.R_rel, np.float32),
+                              np.asarray(c.t_dir, np.float32)[:, None]], axis=1)
+    X = triangulate_two_view_np(P1, P2, c.uv_i, c.uv_j)
     z_unit = X[:, 2]
     dm = depth_maps[c.i]
     H, W = dm.shape

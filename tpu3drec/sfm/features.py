@@ -157,7 +157,9 @@ def detect_keypoints(
     score = jnp.where(ext, jnp.abs(D), -jnp.inf)  # (S,H,W)
 
     flat = score.reshape(-1)
-    vals, idx = jax.lax.top_k(flat, max_keypoints)
+    # see detect_and_describe_pyramid: approx_max_k is one memory-bound
+    # pass on TPU vs top_k's full sort
+    vals, idx = jax.lax.approx_max_k(flat, max_keypoints, recall_target=0.95)
     s_idx = idx // (H * W)
     y_idx = (idx % (H * W)) // W
     x_idx = idx % W
@@ -195,7 +197,6 @@ def detect_keypoints(
     gy = (jnp.roll(G, -1, 1) - jnp.roll(G, 1, 1)) * 0.5
     mag = jnp.sqrt(gx * gx + gy * gy)
     ori = jnp.arctan2(gy, gx)
-
     angle = _dominant_orientation(mag, ori, s_idx + 1, x_idx, y_idx)
     return Keypoints(
         xy=xy, scale=kp_sigma, angle=angle,
@@ -205,18 +206,37 @@ def detect_keypoints(
 
 def _dominant_orientation(mag, ori, s_idx, x_idx, y_idx, radius: int = 8, bins: int = 36):
     """Histogram of gradient orientations in a (2r+1)^2 window (Gaussian
-    weighted), vmapped over keypoints. Returns the peak-bin angle."""
+    weighted), vmapped over keypoints. Returns the peak-bin angle.
+
+    Gather strategy (round-3 finding, tools/feat_profile.py): the window is
+    fetched as POINT gathers from a flat 2-D operand with FOUR x-neighbors
+    of (mag, ori) packed on the trailing dim — (2r+1) * ceil((2r+1)/4)
+    8-vector rows per keypoint instead of (2r+1)^2 2-vector rows (the
+    gather unit is row-latency-bound; ops/quadpack). Row SLICES would be
+    fewer rows still, but vmapped dynamic_slice does NOT hit the fast
+    gather unit: measured 130 ms/frame (~20x slower than point gathers),
+    and a trailing-dim variant OOMs in a 64x-padded transposed copy."""
     offs = jnp.arange(-radius, radius + 1)
     dy, dx = jnp.meshgrid(offs, offs, indexing="ij")
     g = jnp.exp(-(dx ** 2 + dy ** 2) / (2.0 * (0.5 * radius) ** 2))
-    H, W = mag.shape[1], mag.shape[2]
-    # mag/ori interleaved: one gather of 2-vectors per window sample
-    mo = jnp.stack([mag, ori], axis=-1)
+    S, H, W = mag.shape
+    w = 2 * radius + 1
+    nx = -(-w // 4)  # x-groups of 4 packed neighbors
+    # pack mo[x], mo[x+1], mo[x+2], mo[x+3] on the trailing dim
+    mo = jnp.stack([mag, ori], axis=-1)  # (S, H, W, 2)
+
+    def shift_x(a, k):
+        return jnp.concatenate([a[:, :, k:], jnp.repeat(a[:, :, -1:], k, 2)], 2)
+
+    moq = jnp.concatenate([mo] + [shift_x(mo, k) for k in (1, 2, 3)], -1)
+    flat = moq.reshape(S * H * W, 8)
 
     def one(s, x, y):
-        ys = jnp.clip(y + dy, 0, H - 1)
-        xs = jnp.clip(x + dx, 0, W - 1)
-        v = mo[s, ys, xs]
+        ys = jnp.clip(y + offs, 0, H - 1)                       # (w,)
+        xg = jnp.clip(x - radius + 4 * jnp.arange(nx), 0, W - 4)  # (nx,)
+        idx = (s * H + ys[:, None]) * W + xg[None, :]           # (w, nx)
+        # (j, k) merge is x-ascending: position = x - radius + 4j + k
+        v = flat[idx.reshape(-1)].reshape(w, nx * 4, 2)[:, :w]  # (w, w, 2)
         m = v[..., 0] * g
         o = v[..., 1]
         b = jnp.floor((o + jnp.pi) / (2 * jnp.pi) * bins).astype(jnp.int32) % bins
@@ -469,7 +489,14 @@ def detect_and_describe_pyramid(
         ext = _local_extrema(D, threshold) & _edge_response_ok(D)
         score = jnp.where(ext, jnp.abs(D), -jnp.inf)
         flat = score.reshape(-1)
-        vals, idx = jax.lax.top_k(flat, k_o)
+        # approx_max_k (TPU PartialReduce): one memory-bound pass instead
+        # of lax.top_k's full sort — measured 34 ms/frame of the 74 ms
+        # front end went to these per-octave top_k sorts (tools/
+        # feat_profile.py). recall 0.95 means ~5% of the weakest selected
+        # extrema swap for near-equal ones; keypoint selection is
+        # threshold-arbitrary to begin with, and match quality is pinned
+        # by tests/test_features.py.
+        vals, idx = jax.lax.approx_max_k(flat, k_o, recall_target=0.95)
         s_idx = idx // (H * W)
         y_idx = (idx % (H * W)) // W
         x_idx = idx % W

@@ -35,13 +35,31 @@ def pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(a2 + b2 - 2.0 * ab, 0.0)
 
 
-@partial(jax.jit, static_argnames=("block",))
 def nearest_neighbors(
     query: jnp.ndarray, ref: jnp.ndarray, block: int = 2048
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """For each query point, index + squared distance of its nearest ref
-    point. Tiled over ref blocks with a running min so the (N, M) distance
-    matrix never materializes (VMEM-sized tiles only)."""
+    point.
+
+    On TPU this dispatches to the fused Pallas kernel (ops/icp_nn): VPU
+    broadcast distances + in-VMEM running min/argmin — measured 23.9 ms at
+    65k x 65k vs 36.4 ms for the XLA blocked scan (tools/remeasure_r3,
+    round 3). Elsewhere (CPU tests) it runs the blocked-scan formulation,
+    which is also the reference semantics the kernel is pinned against
+    (tests/test_pallas_ops.py)."""
+    if jax.default_backend() == "tpu":
+        from tpu3drec.ops.icp_nn import nearest_neighbors_pallas
+
+        return nearest_neighbors_pallas(query, ref)
+    return _nearest_neighbors_scan(query, ref, block)
+
+
+@partial(jax.jit, static_argnames=("block",))
+def _nearest_neighbors_scan(
+    query: jnp.ndarray, ref: jnp.ndarray, block: int = 2048
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """XLA blocked-scan NN: tiled over ref blocks with a running min so the
+    (N, M) distance matrix never materializes (VMEM-sized tiles only)."""
     n = query.shape[0]
     m = ref.shape[0]
     nblocks = -(-m // block)

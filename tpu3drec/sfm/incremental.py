@@ -27,9 +27,8 @@ from tpu3drec.sfm.features import detect_and_describe
 from tpu3drec.sfm.matching import match_pairs, sequential_pairs
 from tpu3drec.sfm.pnp import pnp_ransac
 from tpu3drec.sfm.triangulate import (
-    projection_matrix,
-    triangulate_two_view,
-    reprojection_errors,
+    reprojection_errors_np,
+    triangulate_two_view_np,
 )
 from tpu3drec.sfm.twoview import estimate_relative_pose
 
@@ -414,22 +413,24 @@ def _triangulate_new(rec: Reconstruction, tracks, xy, min_track_len):
     by_pair = {}
     for tid, f1, f2, k1, k2 in todo:
         by_pair.setdefault((f1, f2), []).append((tid, k1, k2))
-    Kj = jnp.asarray(rec.K)
+    # host-numpy path: per-pair group sizes differ EVERY call, so device
+    # dispatches here compile a fresh executable per unique N — the compile
+    # storm that crashed 500-frame runs (see triangulate_two_view_np)
+    K = np.asarray(rec.K)
     for (f1, f2), items in by_pair.items():
         R1, t1 = rec.poses[f1]
         R2, t2 = rec.poses[f2]
-        P1 = projection_matrix(jnp.asarray(R1), jnp.asarray(t1), Kj)
-        P2 = projection_matrix(jnp.asarray(R2), jnp.asarray(t2), Kj)
-        u1 = jnp.asarray(np.stack([xy[f1, k1] for _, k1, _ in items]))
-        u2 = jnp.asarray(np.stack([xy[f2, k2] for _, _, k2 in items]))
-        X = triangulate_two_view(P1, P2, u1, u2)
+        P1 = K @ np.concatenate([R1, t1[:, None]], axis=1)
+        P2 = K @ np.concatenate([R2, t2[:, None]], axis=1)
+        u1 = np.stack([xy[f1, k1] for _, k1, _ in items])
+        u2 = np.stack([xy[f2, k2] for _, _, k2 in items])
+        Xn = triangulate_two_view_np(P1, P2, u1, u2)
         # cheirality + reprojection sanity
-        e1 = np.asarray(reprojection_errors(X, jnp.asarray(R1), jnp.asarray(t1), Kj, u1))
-        e2 = np.asarray(reprojection_errors(X, jnp.asarray(R2), jnp.asarray(t2), Kj, u2))
-        z1 = (np.asarray(X) @ R1.T + t1)[:, 2]
-        z2 = (np.asarray(X) @ R2.T + t2)[:, 2]
+        e1 = reprojection_errors_np(Xn, R1, t1, K, u1)
+        e2 = reprojection_errors_np(Xn, R2, t2, K, u2)
+        z1 = (Xn @ R1.T + t1)[:, 2]
+        z2 = (Xn @ R2.T + t2)[:, 2]
         ok = (e1 < 4.0) & (e2 < 4.0) & (z1 > 0) & (z2 > 0)
-        Xn = np.asarray(X)
         for m, (tid, _, _) in enumerate(items):
             if ok[m]:
                 rec.points[tid] = Xn[m].astype(np.float32)
@@ -473,6 +474,21 @@ def _run_ba(rec: Reconstruction, tracks, xy, depth_maps=None, depth_weight=2.0):
     w[:O] = 1.0
     points = np.stack([rec.points[t] for t in tids]).astype(np.float32)
 
+    # pad the CAMERA and LANDMARK axes to buckets too: every distinct
+    # (F, L) pair otherwise compiles a fresh ba_solve — 67 multi-second
+    # compiles over a 160-frame windowed run, and the accumulated XLA:CPU
+    # code sections crash LLVM on 500-frame sequences. Padded cameras
+    # replicate the last real pose, padded landmarks sit at the last real
+    # point; neither has observations (weight-0 rows point at index 0), so
+    # their gradients are zero and LM damping keeps them fixed.
+    F, L = len(frames), len(tids)
+    F_pad = max(4, 1 << (F - 1).bit_length())
+    L_pad = max(64, 1 << (L - 1).bit_length())
+    cam_params = np.concatenate(
+        [cam_params, np.repeat(cam_params[-1:], F_pad - F, axis=0)])
+    points = np.concatenate(
+        [points, np.repeat(points[-1:], L_pad - L, axis=0)])
+
     depth = None
     if depth_maps is not None:
         depth = np.zeros(cap, np.float32)
@@ -495,8 +511,9 @@ def _run_ba(rec: Reconstruction, tracks, xy, depth_maps=None, depth_weight=2.0):
     # (largest magnitude — pins scale without constraining the direction BA
     # may still need to correct). With depth priors the scale is observable
     # and must stay free.
-    mask = np.ones((len(frames), 6), np.float32)
+    mask = np.ones((F_pad, 6), np.float32)
     mask[0] = 0.0
+    mask[F:] = 0.0  # padded cameras frozen outright
     if depth_maps is None:
         anchor = rec.scale_anchor if rec.scale_anchor in fidx else frames[min(1, len(frames) - 1)]
         t_anchor = cam_params[fidx[anchor], 3:]

@@ -46,6 +46,51 @@ def triangulate_two_view(
     return jax.vmap(one)(x1, x2)
 
 
+def triangulate_two_view_np(P1, P2, x1, x2):
+    """Host-numpy DLT, same math as `triangulate_two_view`.
+
+    For the incremental-SfM glue (`sfm/incremental._triangulate_new`):
+    per-registration triangulation groups have a DIFFERENT point count
+    every call, so the device path compiles a fresh tiny executable per
+    unique N — measured 2651 XLA:CPU compiles over a 160-frame run, and
+    the accumulated JIT code sections crash LLVM on 500-frame sequences
+    ("Unable to allocate section memory"). A few hundred 4x4 SVDs are
+    host-glue scale; the batched device path stays for in-graph use.
+    """
+    import numpy as np
+
+    P1 = np.asarray(P1)
+    P2 = np.asarray(P2)
+    x1 = np.asarray(x1)
+    x2 = np.asarray(x2)
+    A = np.stack(
+        [
+            x1[:, 0:1] * P1[2] - P1[0],
+            x1[:, 1:2] * P1[2] - P1[1],
+            x2[:, 0:1] * P2[2] - P2[0],
+            x2[:, 1:2] * P2[2] - P2[1],
+        ],
+        axis=1,
+    )  # (N, 4, 4)
+    _, _, Vt = np.linalg.svd(A)
+    X = Vt[:, -1]
+    return X[:, :3] / X[:, 3:4]
+
+
+def reprojection_errors_np(X, R, t, K, uv):
+    """Host-numpy twin of `reprojection_errors` (see triangulate_two_view_np
+    for why the incremental-SfM glue avoids per-shape device dispatches)."""
+    import numpy as np
+
+    X = np.asarray(X)
+    uv = np.asarray(uv)
+    Xc = X @ np.asarray(R).T + np.asarray(t)
+    z = np.where(np.abs(Xc[:, 2]) < 1e-9, 1e-9, Xc[:, 2])
+    u = Xc[:, 0] / z * K[0, 0] + K[0, 2]
+    v = Xc[:, 1] / z * K[1, 1] + K[1, 2]
+    return np.sqrt((u - uv[:, 0]) ** 2 + (v - uv[:, 1]) ** 2)
+
+
 def triangulate_multiview(
     Ps: jnp.ndarray,    # (V, 3, 4) projection matrices
     uvs: jnp.ndarray,   # (V, 2) observations of one landmark
