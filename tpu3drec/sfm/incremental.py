@@ -24,7 +24,11 @@ import numpy as np
 from tpu3drec.core.se3 import axis_angle_to_matrix, matrix_to_axis_angle
 from tpu3drec.sfm.ba import BAProblem, ba_solve
 from tpu3drec.sfm.features import detect_and_describe
-from tpu3drec.sfm.matching import match_pairs, sequential_pairs
+from tpu3drec.sfm.matching import (
+    guided_match_pairs,
+    match_pairs,
+    sequential_pairs,
+)
 from tpu3drec.sfm.pnp import pnp_ransac
 from tpu3drec.sfm.triangulate import (
     reprojection_errors_np,
@@ -175,21 +179,41 @@ def run_sfm(
     geo_valid = np.asarray(m.valid & tv.inliers)
     geo_n = np.asarray(tv.n_inliers)
 
+    # 2c. guided matching (COLMAP §2.3): for verified pairs, re-match with
+    # the epipolar band from the RANSAC essential matrix. On low-texture
+    # stretches the global ratio test keeps only ~40 matches/pair and track
+    # building starves (windows register 1-2 frames, 500-frame city-block
+    # coverage collapsed to ~30%); banding the score matrix first recovers
+    # the rest
+    guided = guided_match_pairs(descs, kps.valid, jnp.asarray(xy),
+                                jnp.asarray(pairs), tv.E, jnp.asarray(rec.K))
+    g_ib = np.asarray(guided.idx_b)
+    g_valid = np.asarray(guided.valid)
+
     m_valid = np.asarray(m.valid)
     m_ia = np.asarray(m.idx_a)
     m_ib = np.asarray(m.idx_b)
     pair_matches = {}
     for p, (i, j) in enumerate(pairs):
-        # verified pairs contribute only epipolar inliers; pairs where
-        # verification itself failed (degenerate/no geometry) are dropped
-        # like COLMAP drops unverified image pairs
+        # verified pairs contribute epipolar inliers + guided harvest;
+        # pairs where verification itself failed (degenerate/no geometry)
+        # are dropped like COLMAP drops unverified image pairs
         if int(geo_n[p]) >= 12:
             sel = geo_valid[p]
         elif int(m_valid[p].sum()) >= 8 and int(geo_n[p]) >= 8:
             sel = geo_valid[p]
         else:
             continue
-        pair_matches[(int(i), int(j))] = (m_ia[p][sel], m_ib[p][sel])
+        # merge: guided matches first, RANSAC inliers overwrite on conflict
+        # (a RANSAC inlier passed BOTH the global ratio test and the gate)
+        a_to_b = {int(a): int(b)
+                  for a, b in zip(np.nonzero(g_valid[p])[0],
+                                  g_ib[p][g_valid[p]])}
+        for a, b in zip(m_ia[p][sel], m_ib[p][sel]):
+            a_to_b[int(a)] = int(b)
+        ia = np.fromiter(a_to_b.keys(), np.int64, len(a_to_b))
+        ib = np.fromiter(a_to_b.values(), np.int64, len(a_to_b))
+        pair_matches[(int(i), int(j))] = (ia, ib)
 
     tracks = build_tracks(pair_matches)
     rec.tracks = tracks
