@@ -123,6 +123,64 @@ class TestShardedBA:
             rtol=1e-3,
         )
 
+    def test_landmark_sharded_depth_priors_equal_unsharded(self, mesh8, rng):
+        """Depth-prior rows shard with their observations (VERDICT r3 #5):
+        the landmark-sharded solver with metric depth must match ba_solve
+        AND recover metric scale from a 0.7x-shrunk initialization — the
+        'metric at scale' capability (design.md §7)."""
+        from tests.test_ba import _make_problem
+        from tpu3drec.core.se3 import axis_angle_to_matrix
+        from tpu3drec.parallel.ba_sharded import ba_solve_landmark_sharded
+        from tpu3drec.sfm.ba import ba_solve
+
+        prob, _, _ = _make_problem(rng, F=4, L=128)
+        cams = np.asarray(prob.cam_params)
+        Xs = np.asarray(prob.points)
+        ci = np.asarray(prob.cam_idx)
+        pi = np.asarray(prob.pt_idx)
+        Rs = np.stack([np.asarray(axis_angle_to_matrix(jnp.asarray(c[:3])))
+                       for c in cams])
+        z = (np.einsum("oij,oj->oi", Rs[ci], Xs[pi])
+             + cams[ci, 3:])[:, 2].astype(np.float32)
+        # 30% of priors dropped (0 = none), like the pipeline's sparse maps
+        keep = np.random.default_rng(3).uniform(size=z.shape) > 0.3
+        z = np.where(keep, z, 0.0).astype(np.float32)
+
+        s = 0.7
+        shrunk = prob._replace(
+            cam_params=jnp.asarray(
+                np.concatenate([cams[:, :3], cams[:, 3:] * s], axis=1)),
+            points=jnp.asarray(Xs * s),
+            depth=jnp.asarray(z),
+            depth_weight=5.0,
+        )
+        res_single = ba_solve(shrunk, max_lm_iters=15, cg_iters=20)
+        res_sharded = ba_solve_landmark_sharded(
+            shrunk, mesh8, axis="space", max_lm_iters=15, cg_iters=20)
+
+        np.testing.assert_allclose(
+            np.asarray(res_sharded.cam_params),
+            np.asarray(res_single.cam_params), atol=5e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_sharded.points),
+            np.asarray(res_single.points), atol=5e-3,
+        )
+        np.testing.assert_allclose(
+            float(res_sharded.final_cost), float(res_single.final_cost),
+            rtol=1e-3, atol=1e-6,
+        )
+        # and the depth rows pulled the scale back: recovered camera-frame
+        # depths match the metric priors
+        new_cams = np.asarray(res_sharded.cam_params)
+        new_X = np.asarray(res_sharded.points)
+        Rn = np.stack([np.asarray(axis_angle_to_matrix(jnp.asarray(c[:3])))
+                       for c in new_cams])
+        z_new = (np.einsum("oij,oj->oi", Rn[ci], new_X[pi])
+                 + new_cams[ci, 3:])[:, 2]
+        rel = np.abs(z_new[keep] - z[keep]) / z[keep]
+        assert np.median(rel) < 0.02, np.median(rel)
+
     def test_landmark_shard_prep_routes_all_observations(self, rng):
         """Every observation lands on its landmark's shard with the right
         local index; padded slots carry weight 0."""

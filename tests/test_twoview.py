@@ -136,3 +136,59 @@ class TestPnP:
         np.testing.assert_allclose(np.asarray(res.R), R, atol=1e-2)
         np.testing.assert_allclose(np.asarray(res.t), t, atol=5e-2)
         assert int(res.n_inliers) > 140
+
+    def test_pnp_coplanar_points(self, rng):
+        """ALL world points on one plane (a building facade filling the
+        view — the 500-frame city-block corner failure): the 6-point DLT
+        is rank-deficient there, so the planar homography-decomposition
+        hypothesis family must carry the solve (sfm/pnp.py::_planar_pose).
+        Before that family existed, sets fitting the TRUE pose at 92%/6px
+        were rejected at 17% consensus."""
+        from scipy.spatial.transform import Rotation as ScipyR
+
+        # a tilted plane in front of the camera
+        n_pts = 120
+        e1 = np.array([1.0, 0.1, 0.2]); e1 /= np.linalg.norm(e1)
+        e2 = np.array([-0.1, 1.0, 0.1]); e2 -= e1 * (e2 @ e1)
+        e2 /= np.linalg.norm(e2)
+        origin = np.array([0.0, 0.0, 9.0])
+        ab = rng.uniform(-3, 3, size=(n_pts, 2))
+        X = (origin + ab[:, :1] * e1 + ab[:, 1:] * e2).astype(np.float32)
+        R = ScipyR.from_rotvec([0.05, -0.15, 0.02]).as_matrix().astype(
+            np.float32)
+        t = np.array([0.4, -0.1, 0.3], np.float32)
+        uv = _project(X, R, t) + rng.normal(
+            0, 0.3, size=(n_pts, 2)).astype(np.float32)
+        res = pnp_ransac(jnp.asarray(X), jnp.asarray(uv),
+                         jnp.ones(n_pts, bool), jnp.asarray(K),
+                         jax.random.PRNGKey(3))
+        assert int(res.n_inliers) > 100, int(res.n_inliers)
+        np.testing.assert_allclose(np.asarray(res.R), R, atol=2e-2)
+        np.testing.assert_allclose(np.asarray(res.t), t, atol=8e-2)
+
+    def test_pnp_mostly_planar_with_outliers(self, rng):
+        """80% of points on one plane + 20% off-plane structure + gross
+        outliers: both hypothesis families compete, the winner must still
+        be the true pose."""
+        from scipy.spatial.transform import Rotation as ScipyR
+
+        n_pl, n_gen = 160, 40
+        e1 = np.array([1.0, 0.0, 0.3]); e1 /= np.linalg.norm(e1)
+        e2 = np.array([0.0, 1.0, 0.0])
+        origin = np.array([0.0, 0.0, 10.0])
+        ab = rng.uniform(-4, 4, size=(n_pl, 2))
+        Xp = origin + ab[:, :1] * e1 + ab[:, 1:] * e2
+        Xg = rng.uniform([-3, -2, 5], [3, 2, 14], size=(n_gen, 3))
+        X = np.concatenate([Xp, Xg]).astype(np.float32)
+        R = ScipyR.from_rotvec([0.02, 0.2, -0.03]).as_matrix().astype(
+            np.float32)
+        t = np.array([-0.5, 0.1, 0.2], np.float32)
+        uv = _project(X, R, t) + rng.normal(
+            0, 0.4, size=(len(X), 2)).astype(np.float32)
+        uv[:30] = rng.uniform([0, 0], [640, 480], size=(30, 2))  # outliers
+        res = pnp_ransac(jnp.asarray(X), jnp.asarray(uv),
+                         jnp.ones(len(X), bool), jnp.asarray(K),
+                         jax.random.PRNGKey(4))
+        assert int(res.n_inliers) > 140, int(res.n_inliers)
+        np.testing.assert_allclose(np.asarray(res.R), R, atol=2e-2)
+        np.testing.assert_allclose(np.asarray(res.t), t, atol=8e-2)

@@ -140,7 +140,7 @@ def build_scene(seed: int, n_boxes: int, ext):
 
 
 def render_sequence(name: str, n_frames: int, noise: bool = True,
-                    cache_dir: str | None = None):
+                    cache_dir: str | None = None, degrade: bool = False):
     """Returns (images (F,H,W) float, depths (F,H,W) float, gt_T (F,4,4))."""
     from tpu3drec.utils.config import CameraConfig
 
@@ -148,7 +148,8 @@ def render_sequence(name: str, n_frames: int, noise: bool = True,
     cache = None
     if cache_dir:
         cache = os.path.join(
-            cache_dir, f"ate_{name}_{n_frames}_{int(noise)}.npz")
+            cache_dir,
+            f"ate_{name}_{n_frames}_{int(noise)}_{int(degrade)}.npz")
         if os.path.exists(cache):
             z = np.load(cache)
             return z["images"], z["depths"], z["gt_T"]
@@ -180,6 +181,14 @@ def render_sequence(name: str, n_frames: int, noise: bool = True,
         gt_T.append(T)
     images, depths, gt_T = (np.stack(images), np.stack(depths),
                             np.stack(gt_T).astype(np.float64))
+    if degrade:
+        # full photometric stack (motion blur along true apparent motion,
+        # defocus, vignetting — data/degrade.py) on top of the exposure
+        # jitter + sensor noise above
+        from tpu3drec.data.degrade import degrade_sequence
+
+        images = degrade_sequence(images, poses, cam,
+                                  np.random.default_rng(seed + 2))
     if cache:
         np.savez_compressed(cache, images=images, depths=depths, gt_T=gt_T)
     return images, depths, gt_T
@@ -187,12 +196,13 @@ def render_sequence(name: str, n_frames: int, noise: bool = True,
 
 def run_sequence(name: str, n_frames: int, max_keypoints: int = 512,
                  window: int = 12, stride: int = 7, depth_priors: bool = True,
-                 cache_dir: str | None = "/tmp"):
+                 cache_dir: str | None = "/tmp", degrade: bool = False):
     from tpu3drec.pipelines.kitti import (
         KittiRunConfig, evaluate_sequence, run_windowed_sfm)
 
     images, depths, gt_T = render_sequence(name, n_frames,
-                                           cache_dir=cache_dir)
+                                           cache_dir=cache_dir,
+                                           degrade=degrade)
     K = np.array([[FX, 0, CX], [0, FY, CY], [0, 0, 1]], np.float32)
     cfg = KittiRunConfig(window=window, stride=stride,
                          max_keypoints=max_keypoints, loop_closure=True,
@@ -219,6 +229,9 @@ def main():
     p.add_argument("--max-keypoints", type=int, default=512)
     p.add_argument("--out", default="docs")
     p.add_argument("--no-depth-priors", action="store_true")
+    p.add_argument("--degrade", action="store_true",
+                   help="apply the full photometric degradation stack "
+                   "(motion blur/defocus/vignette, data/degrade.py)")
     p.add_argument("--platform", default=None)
     p.add_argument("--nproc", type=int, default=1,
                    help=">1: run as N jax.distributed processes — "
@@ -271,8 +284,10 @@ def main():
                   flush=True)
         m = run_sequence(name, args.frames,
                          max_keypoints=args.max_keypoints,
-                         depth_priors=not args.no_depth_priors)
+                         depth_priors=not args.no_depth_priors,
+                         degrade=args.degrade)
         m["nproc"] = max(args.nproc, 1)
+        m["degrade"] = bool(args.degrade)
         rows.append(m)
         if is_writer:
             print(json.dumps(m), flush=True)

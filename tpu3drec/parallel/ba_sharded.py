@@ -20,8 +20,12 @@ Layout (host-prepped by `prepare_landmark_shards`):
 
 Same LM/PCG math as `sfm.ba.ba_solve` (Huber IRLS, additive damping,
 block-Jacobi-preconditioned CG on the reduced camera system, early-exit
-while_loop); reprojection-only (no depth-prior rows — route metric scale
-through the window pipeline's priors instead). Replaces COLMAP's
+while_loop), INCLUDING per-observation metric depth-prior rows: a depth
+residual is landmark-local exactly like a reprojection residual, so it
+shards with its observation — the row count of the einsums changes from
+2 to 3 and nothing about the communication pattern does (still one (F,6)
+psum per CG iteration). This is what makes metric-scale reconstruction
+possible at sharded-map scale (design.md §7). Replaces COLMAP's
 single-node Ceres BA (reference workflow `ref/software_record/
 colmap使用.docx` §2.5) with a multi-chip solver.
 """
@@ -36,7 +40,12 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from tpu3drec.sfm.ba import BAProblem, BAResult, _project_one
+from tpu3drec.sfm.ba import (
+    BAProblem,
+    BAResult,
+    _project_one,
+    _residual_one_depth,
+)
 
 
 class _ShardedParts(NamedTuple):
@@ -50,6 +59,7 @@ class _ShardedParts(NamedTuple):
     L: int                    # original landmark count
     Ls: int                   # landmarks per shard
     Oc: int                   # observation capacity per shard
+    depth: np.ndarray | None = None  # (N*Oc,) metric z per obs, 0 = none
 
 
 def prepare_landmark_shards(p: BAProblem, n_shards: int) -> _ShardedParts:
@@ -78,6 +88,10 @@ def prepare_landmark_shards(p: BAProblem, n_shards: int) -> _ShardedParts:
     pl = np.zeros((n_shards, Oc), pt_idx.dtype)
     ob = np.zeros((n_shards, Oc, 2), uv.dtype)
     ww = np.zeros((n_shards, Oc), w.dtype)
+    dd = None
+    if p.depth is not None:
+        d_all = np.asarray(p.depth)
+        dd = np.zeros((n_shards, Oc), d_all.dtype)
     for s in range(n_shards):
         sel = np.nonzero(shard_of == s)[0]
         n = sel.size
@@ -85,16 +99,25 @@ def prepare_landmark_shards(p: BAProblem, n_shards: int) -> _ShardedParts:
         pl[s, :n] = pt_idx[sel] - s * Ls
         ob[s, :n] = uv[sel]
         ww[s, :n] = w[sel]
+        if dd is not None:
+            dd[s, :n] = d_all[sel]
 
     return _ShardedParts(
         points=pts_pad, cam_idx=ci.reshape(-1), pt_idx_local=pl.reshape(-1),
         uv=ob.reshape(-1, 2), weight=ww.reshape(-1), L=L, Ls=Ls, Oc=Oc,
+        depth=None if dd is None else dd.reshape(-1),
     )
 
 
 def _jac_one(cam, X, K):
     Jc = jax.jacfwd(lambda c: _project_one(c, X, K))(cam)
     Jp = jax.jacfwd(lambda x: _project_one(cam, x, K))(X)
+    return Jc, Jp
+
+
+def _jac_one_depth(cam, X, K, uv, d, wd):
+    Jc = jax.jacfwd(lambda c: _residual_one_depth(c, X, K, uv, d, wd))(cam)
+    Jp = jax.jacfwd(lambda x: _residual_one_depth(cam, x, K, uv, d, wd))(X)
     return Jc, Jp
 
 
@@ -111,11 +134,11 @@ def ba_solve_landmark_sharded(
     """LM bundle adjustment with landmark state sharded over ``mesh[axis]``.
 
     Numerically equivalent to `sfm.ba.ba_solve` (observation contributions
-    are the same sums, reassociated per shard); per-device landmark memory
-    is L/N. Returns a BAResult with the full (unsharded) point array.
+    are the same sums, reassociated per shard), including metric depth-prior
+    rows when ``p.depth`` is set; per-device landmark memory is L/N.
+    Returns a BAResult with the full (unsharded) point array.
     """
-    if p.depth is not None:
-        raise ValueError("landmark-sharded BA is reprojection-only")
+    has_depth = p.depth is not None
     n_shards = mesh.shape[axis]
     F = p.cam_params.shape[0]
     parts = prepare_landmark_shards(p, n_shards)
@@ -128,8 +151,9 @@ def ba_solve_landmark_sharded(
 
     K = jnp.asarray(p.K)
     lam0 = jnp.asarray(init_lambda, p.cam_params.dtype)
+    wd = jnp.asarray(p.depth_weight, p.cam_params.dtype)
 
-    def shard_body(cams0, pts_l, cam_idx, pt_idx_l, uv, w_in):
+    def shard_body(cams0, pts_l, cam_idx, pt_idx_l, uv, w_in, depth):
         # shapes per device: cams0 (F,6) replicated; pts_l (Ls,3);
         # obs arrays (Oc,) / (Oc,2). All scalars below are identical on
         # every device (they flow through psums), so the while_loop's
@@ -137,17 +161,31 @@ def ba_solve_landmark_sharded(
         def psum(x):
             return jax.lax.psum(x, axis)
 
-        def proj(cams, pts):
+        def resid(cams, pts):
+            # (Oc,2) reprojection rows, or (Oc,3) with the depth-prior row —
+            # the row is per-observation and landmark-local, so it shards
+            # exactly like the reprojection rows (no extra communication)
             c = cams[cam_idx]
             x = pts[pt_idx_l]
+            if has_depth:
+                return jax.vmap(
+                    _residual_one_depth, in_axes=(0, 0, None, 0, 0, None)
+                )(c, x, K, uv, depth, wd)
             return jax.vmap(_project_one, in_axes=(0, 0, None))(c, x, K) - uv
 
         def cost_of(cams, pts):
-            r = proj(cams, pts)
-            n = jnp.linalg.norm(r, axis=-1)
+            r = resid(cams, pts)
+            n = jnp.linalg.norm(r[..., :2], axis=-1)
             c = jnp.where(
                 n <= huber_px, 0.5 * n ** 2, huber_px * (n - 0.5 * huber_px)
             )
+            if has_depth:
+                # Huber on the depth row too (occlusion-boundary lookups are
+                # gross outliers) — same as sfm.ba.ba_solve.cost_of
+                a = jnp.abs(r[..., 2])
+                c = c + jnp.where(
+                    a <= huber_px, 0.5 * a ** 2,
+                    huber_px * (a - 0.5 * huber_px))
             return psum(jnp.sum(c * w_in))
 
         init_cost = cost_of(cams0, pts_l)
@@ -160,12 +198,25 @@ def ba_solve_landmark_sharded(
 
         def lm_step(carry):
             cams, pts, lam, cost, done, it = carry
-            r = proj(cams, pts)                     # (Oc,2)
-            n = jnp.linalg.norm(r, axis=-1)
+            r = resid(cams, pts)                    # (Oc,2) or (Oc,3)
+            n = jnp.linalg.norm(r[..., :2], axis=-1)
             w = w_in * jnp.where(
                 n <= huber_px, 1.0, huber_px / jnp.maximum(n, 1e-12))
-            Jc, Jp = jax.vmap(_jac_one, in_axes=(0, 0, None))(
-                cams[cam_idx], pts[pt_idx_l], K)    # (Oc,2,6), (Oc,2,3)
+            if has_depth:
+                # row-wise IRLS sqrt-weight on the depth row (mirrors
+                # sfm.ba.ba_solve): residual row + both Jacobian rows scale
+                a = jnp.abs(r[..., 2])
+                s_d = jnp.sqrt(jnp.where(
+                    a <= huber_px, 1.0, huber_px / jnp.maximum(a, 1e-12)))
+                r = r.at[:, 2].multiply(s_d)
+                Jc, Jp = jax.vmap(
+                    _jac_one_depth, in_axes=(0, 0, None, 0, 0, None)
+                )(cams[cam_idx], pts[pt_idx_l], K, uv, depth, wd)
+                Jc = Jc.at[:, 2, :].multiply(s_d[:, None])
+                Jp = Jp.at[:, 2, :].multiply(s_d[:, None])
+            else:
+                Jc, Jp = jax.vmap(_jac_one, in_axes=(0, 0, None))(
+                    cams[cam_idx], pts[pt_idx_l], K)  # (Oc,2,6), (Oc,2,3)
             wJc = Jc * w[:, None, None]
             wJp = Jp * w[:, None, None]
 
@@ -258,11 +309,13 @@ def ba_solve_landmark_sharded(
 
     sharded = shard_map(
         shard_body, mesh=mesh,
-        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
         out_specs=(P(), P(axis), P(), P(), P()),
         check_vma=False,
     )
     fn = jax.jit(sharded)
+    depth_arr = (jnp.asarray(parts.depth) if has_depth
+                 else jnp.zeros(parts.weight.shape[0], p.cam_params.dtype))
     cams, pts_pad, init_cost, final_cost, n_it = fn(
         jnp.asarray(p.cam_params),
         jnp.asarray(parts.points),
@@ -270,6 +323,7 @@ def ba_solve_landmark_sharded(
         jnp.asarray(parts.pt_idx_local),
         jnp.asarray(parts.uv),
         jnp.asarray(parts.weight),
+        depth_arr,
     )
     return BAResult(
         cam_params=cams, points=pts_pad[:parts.L],

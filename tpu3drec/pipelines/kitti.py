@@ -570,8 +570,17 @@ def _refine_with_pose_graph(Ts, window_edges):
 
 def evaluate_sequence(Ts, gt_T: np.ndarray):
     """ATE/RPE of the stitched trajectory vs ground truth (frames missing
-    from the reconstruction are skipped)."""
-    sel = [i for i, T in enumerate(Ts) if T is not None]
+    from the reconstruction are skipped; non-finite poses — e.g. from a
+    degenerate stitch scale — count as missing rather than poisoning the
+    whole metric with NaN)."""
+    sel = [i for i, T in enumerate(Ts)
+           if T is not None and np.isfinite(T).all()]
+    if len(sel) < 3:
+        return {
+            "ate_rms": float("inf"), "rpe_trans": float("inf"),
+            "rpe_rot": float("inf"), "coverage": len(sel) / max(len(Ts), 1),
+            "traj_len": trajectory_length(gt_T[:, :3, 3]),
+        }
     est_c = np.stack([Ts[i][:3, 3] for i in sel])
     gt_c = gt_T[sel][:, :3, 3]
     ate_rms, aligned, sim = ate(est_c, gt_c)

