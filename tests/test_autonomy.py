@@ -371,3 +371,138 @@ class TestPerceptionInTheLoop:
         # gate crossed near its center: servoing on RENDERED pixels worked
         assert np.min(np.abs(through[:, 1] - 0.8)) < 0.45, through
         assert np.min(np.abs(through[:, 2] - 4.5)) < 0.45, through
+
+
+class TestMissionShowcase:
+    """The complete C1 story (VERDICT r3 stretch item 9): a MULTI-GATE +
+    task-marker + landing-pad mission where EVERY phase is driven by real
+    in-graph perception on rendered pixels — ring detection for two gates,
+    ArUco decoding for the task markers, color-blob detection for the pad.
+    One lax.scan program end to end: the reference's full competition loop
+    (`ref/airsim/main.cpp:1653-3974`) with OpenCV+RPC round-trips replaced
+    by batched device kernels."""
+
+    @pytest.mark.slow
+    def test_multi_gate_marker_pad_showcase(self):
+        from tpu3drec.autonomy.aruco import decode_marker, render_marker
+        from tpu3drec.autonomy.detect import detect_color_blob, detect_rings
+        from tpu3drec.autonomy.mission import (
+            MissionConfig, Observation, Phase, mission_rollout)
+
+        H, W = 96, 128
+        f = 110.0
+        f_down = 80.0
+        cfg = MissionConfig(
+            waypoints=jnp.asarray(
+                [[4.0, 0.0, 4.0], [12.0, 0.0, 4.0], [20.0, 0.0, 4.0]],
+                jnp.float32),
+            gate_waypoint=jnp.asarray([True, True, False]),
+            task_ids=jnp.asarray([17, 451], jnp.int32),
+            image_center=jnp.asarray([W / 2, H / 2], jnp.float32),
+            cruise_alt=4.0, scan_ticks=14, pass_ticks=25,
+            ring_score_min=2.5,
+            servo_gain=(0.03, 0.0, 0.008),
+        )
+        gates = jnp.asarray([[8.0, 0.8, 4.5], [16.0, -0.6, 4.2]],
+                            jnp.float32)
+        gate_radius_m = 0.8
+        radii = (6, 8, 10, 13, 16, 20)
+        pad = jnp.asarray([27.0, 1.0, 0.0], jnp.float32)
+        pad_radius_m = 0.6
+        # task markers on the ground inside the ARUCO_SCAN sweep area
+        marker_xy = jnp.asarray([[20.5, -0.9], [21.5, 0.9]], jnp.float32)
+        marker_imgs = jnp.stack([
+            jnp.asarray(render_marker(17, cell_px=8, border_px=16),
+                        jnp.float32),
+            jnp.asarray(render_marker(451, cell_px=8, border_px=16),
+                        jnp.float32),
+        ])  # (2, 88, 88) — fits the 96x128 down camera
+
+        ys, xs = jnp.mgrid[0:H, 0:W]
+        key = jax.random.PRNGKey(0)
+        noise = 0.05 * jax.random.uniform(key, (H, W))
+
+        def render_front(pos):
+            # nearest gate ahead wins the frame
+            rels = gates - pos
+            ahead_d = jnp.where(rels[:, 0] > 0.5, rels[:, 0], 1e9)
+            rel = rels[jnp.argmin(ahead_d)]
+            depth = jnp.maximum(rel[0], 0.5)
+            cx = W / 2 - f * rel[1] / depth
+            cy = H / 2 - f * rel[2] / depth
+            r_px = jnp.clip(f * gate_radius_m / depth, 3.0, 24.0)
+            d = jnp.sqrt((ys - cy) ** 2 + (xs - cx) ** 2)
+            ring = jnp.exp(-((d - r_px) ** 2) / (2.0 * 1.2 ** 2))
+            vis = (rel[0] > 0.5).astype(jnp.float32)
+            return jnp.clip(noise + vis * ring, 0.0, 1.0)
+
+        def render_down_rgb(pos):
+            # red landing pad, pinhole-projected (image x ~ world y,
+            # image y ~ world x — the below-camera convention of ALIGN_PARK)
+            alt = jnp.maximum(pos[2], 0.5)
+            cx = W / 2 - f_down * (pad[1] - pos[1]) / alt
+            cy = H / 2 - f_down * (pad[0] - pos[0]) / alt
+            r_px = jnp.clip(f_down * pad_radius_m / alt, 3.0, 30.0)
+            d = jnp.sqrt((ys - cx) ** 2 * 0 + (xs - cx) ** 2 + (ys - cy) ** 2)
+            disk = (d < r_px).astype(jnp.float32)
+            r_chan = jnp.clip(0.15 + 0.8 * disk, 0, 1)
+            g_chan = jnp.full((H, W), 0.15)
+            b_chan = jnp.full((H, W), 0.15)
+            return jnp.stack([r_chan, g_chan, b_chan], -1)
+
+        def render_down_gray(pos):
+            # the marker fills the frame when hovering within 1.2 m of it
+            d2 = jnp.linalg.norm(marker_xy - pos[:2], axis=1)
+            which = jnp.argmin(d2)
+            near = d2[which] < 1.2
+            img = marker_imgs[which]  # render_marker is already [0, 1]
+            Hm, Wm = img.shape
+            pad_img = jnp.zeros((H, W)).at[:Hm, :Wm].set(img)
+            return jnp.where(near, pad_img, noise), near
+
+        def observe(pos):
+            front = render_front(pos)
+            ring = detect_rings(front[None], radii=radii, stride=1)
+            down_rgb = render_down_rgb(pos)
+            blob = detect_color_blob(down_rgb[None], channel=0,
+                                     min_area=24)
+            gray, near = render_down_gray(pos)
+            det = decode_marker(gray[:88, :88][None])
+            mid = jnp.where(det.found[0] & near, det.marker_id[0], -1)
+            return Observation(
+                ring_px=jnp.stack([ring.cx[0], ring.cy[0]]),
+                ring_score=ring.score[0],
+                blob_px=jnp.stack([blob.cx[0], blob.cy[0]]),
+                blob_found=blob.found[0],
+                altitude=pos[2], position=pos,
+                marker_ids=jnp.stack([mid.astype(jnp.int32)]),
+            )
+
+        state, traj, phases = mission_rollout(
+            cfg, observe, n_steps=1600, start=jnp.zeros(3), dt=0.1)
+        phases = np.asarray(phases)
+        traj = np.asarray(traj)
+
+        for ph in (Phase.TAKEOFF, Phase.NAV_WAYPOINT, Phase.SEARCH_GATE,
+                   Phase.ALIGN_GATE, Phase.PASS_GATE, Phase.ARUCO_SCAN,
+                   Phase.PARK_SEARCH, Phase.ALIGN_PARK, Phase.DESCEND,
+                   Phase.LANDED):
+            assert (phases == int(ph)).any(), Phase(ph).name
+
+        # BOTH gates crossed near their centers, on rendered pixels
+        for gx, gy, gz in ((8.0, 0.8, 4.5), (16.0, -0.6, 4.2)):
+            through = traj[np.abs(traj[:, 0] - gx) < 0.3]
+            assert len(through) > 0, gx
+            assert np.min(np.abs(through[:, 1] - gy)) < 0.5, gx
+            assert np.min(np.abs(through[:, 2] - gz)) < 0.5, gx
+
+        # both task markers decoded from rendered ArUco pixels
+        assert bool(np.asarray(state.found_mask).all()), \
+            np.asarray(state.found_mask)
+
+        # landed on the pad, servoing on the detected red blob
+        assert int(state.phase) == int(Phase.LANDED)
+        final = traj[-1]
+        assert abs(final[0] - 27.0) < 1.0, final
+        assert abs(final[1] - 1.0) < 1.0, final
+        assert final[2] <= 0.4, final

@@ -311,3 +311,40 @@ class TestKbTiledMatcher:
                                        ref_sorted[:, -1], atol=1e-5)
             np.testing.assert_allclose(np.asarray(top2)[p, :, 1],
                                        ref_sorted[:, -2], atol=1e-5)
+
+
+class TestDenseOrientation:
+    def test_dense_matches_gather_form(self, rng):
+        """The dense separable-conv orientation (1 gather row/kp) must agree
+        with the quad-packed gather form (85 rows/kp) on interior keypoints
+        — same Gaussian window, same histogram, same peak interpolation."""
+        import jax
+        import jax.numpy as jnp
+
+        from tpu3drec.sfm.features import (
+            _dominant_orientation,
+            _dominant_orientation_dense,
+            gaussian_blur,
+        )
+
+        H, W, S = 96, 128, 3
+        img = rng.uniform(size=(H, W)).astype(np.float32)
+        G = jnp.stack([gaussian_blur(jnp.asarray(img), s)
+                       for s in (1.0, 1.6, 2.2)])
+        gx = (jnp.roll(G, -1, 2) - jnp.roll(G, 1, 2)) * 0.5
+        gy = (jnp.roll(G, -1, 1) - jnp.roll(G, 1, 1)) * 0.5
+        mag = jnp.sqrt(gx * gx + gy * gy)
+        ori = jnp.arctan2(gy, gx)
+
+        K = 64
+        s_idx = jnp.asarray(rng.integers(0, S, K), jnp.int32)
+        x_idx = jnp.asarray(rng.integers(12, W - 12, K), jnp.int32)
+        y_idx = jnp.asarray(rng.integers(12, H - 12, K), jnp.int32)
+
+        a_ref = np.asarray(_dominant_orientation(mag, ori, s_idx, x_idx, y_idx))
+        a_new = np.asarray(
+            _dominant_orientation_dense(mag, ori, s_idx, x_idx, y_idx))
+        # circular difference in degrees
+        d = np.degrees(np.angle(np.exp(1j * (a_new - a_ref))))
+        assert np.median(np.abs(d)) < 1.0, np.median(np.abs(d))
+        assert (np.abs(d) < 5.0).mean() > 0.9, (np.abs(d) < 5.0).mean()

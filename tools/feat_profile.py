@@ -91,22 +91,29 @@ def _stage_fn(stage: str):
             gys = (jnp.roll(G, -1, 1) - jnp.roll(G, 1, 1)) * 0.5
             mag = jnp.sqrt(gxs * gxs + gys * gys)
             ori = jnp.arctan2(gys, gxs)
-            angle = F._dominant_orientation(mag, ori, s_idx + 1, x_idx,
-                                            y_idx)
-            if stage == "orient":
+            if stage == "orient_dense":
+                # measured-and-rejected dense-conv form (see
+                # features._dominant_orientation_dense): 69.4 vs 26.1
+                # ms/frame cumulative on hardware, round 4
+                angle = F._dominant_orientation_dense(mag, ori, s_idx + 1,
+                                                      x_idx, y_idx)
+            else:
+                angle = F._dominant_orientation(mag, ori, s_idx + 1, x_idx,
+                                                y_idx)
+            if stage in ("orient", "orient_dense"):
                 outs.append(jnp.sum(angle) + jnp.sum(xy_oct))
                 base = G[num_scales - 2][::2, ::2]
                 continue
             raise ValueError(stage)
         return sum(outs)
 
-    if stage == "desc":
-        def run(img):  # noqa: F811 — full pipeline
+    if stage in ("desc", "desc_upright"):
+        def run(img, _up=(stage == "desc_upright")):  # noqa: F811
             # threshold/sigma0 stay Python defaults (non-static jit args
             # would be traced and break the concrete max() inside)
             kps, desc = F.detect_and_describe_pyramid(
                 img, max_keypoints=K, num_octaves=num_octaves,
-                num_scales=num_scales)
+                num_scales=num_scales, upright=_up)
             total = jnp.sum(desc) + jnp.sum(kps.xy) + jnp.sum(kps.score)
             return total
         import jax.numpy as jnp  # noqa: F401

@@ -348,6 +348,18 @@ def _try_stitch(global_T: dict, local: dict, cfg) -> tuple[bool, float]:
                   f"degenerate 2-anchor stitch, pending")
         return False, 1.0
     s, R, t = sim
+    # scale sanity: a near-stationary anchor set (all shared centers within
+    # noise of each other) makes the similarity scale 0/eps or eps/0 and a
+    # single accepted stitch then poisons the whole trajectory with
+    # inf/NaN poses downstream. Depth-prior runs should stitch near unit
+    # scale; even without priors, 1e3 off means the anchors carried no
+    # baseline. Keep the window pending — a later (longer-baseline) shared
+    # set usually unlocks it.
+    if not np.isfinite(s) or not (1e-3 < s < 1e3) or not np.isfinite(t).all():
+        if cfg.verbose:
+            print(f"[kitti] window {min(local)}..{max(local)}: "
+                  f"stitch scale {s:.2e} rejected, pending")
+        return False, 1.0
     S = np.eye(4)
     S[:3, :3] = s * R
     S[:3, 3] = t
@@ -397,7 +409,13 @@ def closure_metric_magnitude(c, K: np.ndarray,
     ok = (z_unit > 1e-6) & (d_met > 1e-6) & np.isfinite(z_unit)
     if ok.sum() < 5:
         return None
-    return float(np.median(d_met[ok] / z_unit[ok]))
+    mag = float(np.median(d_met[ok] / z_unit[ok]))
+    # sanity: a near-zero unit-baseline depth (degenerate triangulation)
+    # inflates the ratio without bound; a kilometre-scale closure
+    # translation is never real on these workloads
+    if not np.isfinite(mag) or mag > 1e4:
+        return None
+    return mag
 
 
 def _relocalize(Ts, closures, cfg, K=None, depth_maps=None):
@@ -433,6 +451,8 @@ def _relocalize(Ts, closures, cfg, K=None, depth_maps=None):
             return
         if not allow_reuse and partner in used_partners:
             return
+        if not np.isfinite(out[partner]).all():
+            return  # never anchor to a poisoned pose
         mag = 0.0
         if depth_maps is not None and K is not None:
             m = closure_metric_magnitude(c, K, depth_maps)
@@ -512,7 +532,11 @@ def _refine_with_pose_graph(Ts, window_edges):
 
     from tpu3drec.core.se3 import matrix_to_axis_angle
 
-    present = [i for i, T in enumerate(Ts) if T is not None]
+    # non-finite poses/edges must not enter the graph: GN's dense solve
+    # spreads a single NaN to EVERY pose (measured on the 500-frame city
+    # block: one poisoned anchor turned 98.6% coverage into all-NaN output)
+    present = [i for i, T in enumerate(Ts)
+               if T is not None and np.isfinite(T).all()]
     if len(present) < 3 or not window_edges:
         return Ts
     idx_of = {f: i for i, f in enumerate(present)}
@@ -526,6 +550,8 @@ def _refine_with_pose_graph(Ts, window_edges):
     ei, ej, rel, w = [], [], [], []
     for (f1, f2, T_rel, s_w) in window_edges:
         if f1 not in idx_of or f2 not in idx_of:
+            continue
+        if not (np.isfinite(T_rel).all() and np.isfinite(s_w)):
             continue
         Tr = T_rel.copy()
         Tr[:3, 3] *= s_w

@@ -263,6 +263,80 @@ def _dominant_orientation(mag, ori, s_idx, x_idx, y_idx, radius: int = 8, bins: 
     return jax.vmap(one)(s_idx, x_idx, y_idx)
 
 
+def _dominant_orientation_dense(mag, ori, s_idx, x_idx, y_idx,
+                                radius: int = 8, bins: int = 36):
+    """Dense reformulation of `_dominant_orientation`: compute the
+    Gaussian-windowed orientation histogram DENSELY for every pixel with
+    two separable depthwise convolutions over 36 one-hot bin planes, then
+    gather ONE row per keypoint instead of 85.
+
+    MEASURED AND REJECTED on hardware (round 4, tools/feat_profile.py):
+    69.4 ms/frame cumulative vs 26.1 for the quad-packed gather form at
+    384x1280/K=1024/3 octaves. The 36-group depthwise convolutions lower
+    to VPU loops that do not amortize, and octave -1 (768x2560) makes the
+    dense pass pay for 10M pixels to serve 1024 keypoints. Kept as the
+    documented counter-experiment + numerical cross-check for the gather
+    form (tests/test_features.py::TestDenseOrientation) — and because on
+    a denser-keypoint regime (K ~ H*W/100) the crossover would flip.
+
+    This closes the round-3 roofline question: the production front end is
+    UPRIGHT (run_sfm/_detect_sequence pass upright=True — KITTI-style
+    forward motion, design note in detect_and_describe), which skips
+    orientation entirely and measures 28.8 ms/frame on hardware, under the
+    30 ms target. The oriented variant stays at ~46 ms/frame with the
+    85-row gather as its floor-setting stage.
+
+    Border semantics: edge-replicate padding, matching the clip-to-edge
+    gathers of the sparse form. Peak smoothing + parabolic interpolation
+    are identical."""
+    S, H, W = mag.shape
+    w = 2 * radius + 1
+    offs = jnp.arange(-radius, radius + 1).astype(mag.dtype)
+    g1 = jnp.exp(-(offs ** 2) / (2.0 * (0.5 * radius) ** 2))  # separable
+
+    b = jnp.floor((ori + jnp.pi) / (2 * jnp.pi) * bins).astype(jnp.int32) % bins
+
+    def conv_scale(m_s, b_s):
+        planes = m_s[..., None] * (
+            b_s[..., None] == jnp.arange(bins, dtype=jnp.int32))  # (H,W,B)
+        x = jnp.pad(planes, ((0, 0), (radius, radius), (0, 0)), mode="edge")
+        x = jnp.moveaxis(x, -1, 0)[None]                      # (1,B,H,W+2r)
+        kx = jnp.broadcast_to(g1[None, None, None, :], (bins, 1, 1, w))
+        x = jax.lax.conv_general_dilated(
+            x, kx, (1, 1), "VALID", feature_group_count=bins)
+        x = jnp.pad(x, ((0, 0), (0, 0), (radius, radius), (0, 0)),
+                    mode="edge")
+        ky = jnp.broadcast_to(g1[None, None, :, None], (bins, 1, w, 1))
+        x = jax.lax.conv_general_dilated(
+            x, ky, (1, 1), "VALID", feature_group_count=bins)
+        return jnp.moveaxis(x[0], 0, -1)                      # (H,W,B)
+
+    def per_scale(sb):
+        # conv one scale, gather all K keypoint rows, mask to this scale —
+        # avoids materializing the (S,H,W,B) stack (1.1 GB at octave -1)
+        m_s, b_s, s = sb
+        dense = conv_scale(m_s, b_s)                          # (H,W,B)
+        hsel = dense[y_idx, x_idx]                            # (K,B)
+        return jnp.where((s_idx == s)[:, None], hsel, 0.0)
+
+    hist = jnp.sum(
+        jax.lax.map(per_scale, (mag, b, jnp.arange(S))), axis=0)  # (K,B)
+
+    hist = (jnp.roll(hist, 1, axis=1) + hist
+            + jnp.roll(hist, -1, axis=1)) / 3.0
+    peak = jnp.argmax(hist, axis=1)
+    k = jnp.arange(hist.shape[0])
+    hl = hist[k, (peak - 1) % bins]
+    hc = hist[k, peak]
+    hr = hist[k, (peak + 1) % bins]
+    denom = hl - 2.0 * hc + hr
+    off = jnp.where(jnp.abs(denom) > 1e-12,
+                    0.5 * (hl - hr) / jnp.where(jnp.abs(denom) > 1e-12,
+                                                denom, 1.0), 0.0)
+    off = jnp.clip(off, -0.5, 0.5)
+    return ((peak.astype(jnp.float32) + 0.5 + off) / bins) * 2 * jnp.pi - jnp.pi
+
+
 # --------------------------------------------------------------- descriptor
 
 def _hist_from_gradients(rgx, rgy, px, py, patch_grid: int, ori_bins: int):
