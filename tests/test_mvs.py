@@ -1,0 +1,336 @@
+"""Dense MVS subsystem tests (SURVEY §2.2 C8 — the MVE analogue).
+
+Coverage mirrors the MVE chain: plane-sweep depth vs rendered ground truth
+(dmrecon), cross-view consistency filtering (scene2pset), TSDF fusion +
+marching-tetrahedra meshing against analytic surfaces (fssrecon), floater
+removal (meshclean), and the end-to-end pipeline on a rendered scene.
+"""
+
+import numpy as np
+import pytest
+
+from tpu3drec.mvs.marching import (_CASE_TABLE, _TET_EDGES, _TETS,
+                                   marching_tetrahedra, weld_mesh)
+from tpu3drec.mvs.meshclean import clean_mesh
+from tpu3drec.utils.config import CameraConfig
+
+
+# ---------------------------------------------------------------- helpers
+
+def look_at_pose(eye, target=(0.0, 0.0, 0.0), up=(0.0, -1.0, 0.0)):
+    """world->cam (R, t) for a camera at `eye` looking at `target`
+    (camera convention: x right, y down, z forward)."""
+    eye = np.asarray(eye, np.float64)
+    z = np.asarray(target, np.float64) - eye
+    z /= np.linalg.norm(z)
+    x = np.cross(np.asarray(up, np.float64), z)
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    R = np.stack([x, y, z])          # rows = cam axes in world coords
+    t = -R @ eye
+    return R.astype(np.float32), t.astype(np.float32)
+
+
+def render_sphere_depth(R, t, cam, radius=1.0, center=(0, 0, 0)):
+    """Analytic ray-cast depth of a sphere: per-pixel quadratic."""
+    u, v = np.meshgrid(np.arange(cam.width), np.arange(cam.height))
+    rays = np.stack([(u - cam.cx) / cam.fx, (v - cam.cy) / cam.fy,
+                     np.ones_like(u, np.float64)], axis=-1)
+    # camera center and ray directions in world coords
+    C = -R.T @ t
+    d_w = rays @ R                      # (H, W, 3) (R^T applied per-pixel)
+    oc = C - np.asarray(center, np.float64)
+    b = 2.0 * (d_w @ oc)
+    a = (d_w * d_w).sum(-1)
+    c = oc @ oc - radius**2
+    disc = b * b - 4 * a * c
+    hit = disc > 0
+    s = (-b - np.sqrt(np.maximum(disc, 0.0))) / (2 * a)  # near intersection
+    depth = np.where(hit & (s > 0), s, 0.0)  # ray param = z-depth scale
+    # convert ray parameter to z-depth: z_cam = s * (ray_z in cam frame = 1)
+    return depth.astype(np.float32)
+
+
+def sphere_sdf_grid(n=32, extent=1.6, radius=1.0):
+    xs = np.linspace(-extent, extent, n, dtype=np.float32)
+    X, Y, Z = np.meshgrid(xs, xs, xs, indexing="ij")
+    sdf = np.sqrt(X**2 + Y**2 + Z**2) - radius
+    origin = np.array([-extent] * 3, np.float32)
+    res = float(xs[1] - xs[0])
+    return sdf, origin, res
+
+
+# ---------------------------------------------------- marching tetrahedra
+
+class TestCaseTable:
+    def test_empty_and_full_cases_emit_nothing(self):
+        assert (_CASE_TABLE[0] == -1).all()
+        assert (_CASE_TABLE[15] == -1).all()
+
+    def test_triangle_counts_by_popcount(self):
+        for case in range(16):
+            n_in = bin(case).count("1")
+            ntri = int((_CASE_TABLE[case, :, 0] >= 0).sum())
+            assert ntri == {0: 0, 1: 1, 2: 2, 3: 1, 4: 0}[n_in], case
+
+    def test_every_listed_edge_crosses_the_surface(self):
+        for case in range(16):
+            inside = {v for v in range(4) if case & (1 << v)}
+            for tri in _CASE_TABLE[case]:
+                for e in tri:
+                    if e < 0:
+                        continue
+                    a, b = _TET_EDGES[e]
+                    assert (a in inside) != (b in inside), (case, e)
+
+    def test_tets_tile_the_cube(self):
+        # 6 tets, each of volume 1/6 of the unit cube, non-overlapping:
+        # total volume == 1
+        from itertools import combinations
+
+        corners = np.array(
+            [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+             [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]], np.float64)
+        vol = 0.0
+        for tet in _TETS:
+            p = corners[tet]
+            vol += abs(np.linalg.det(p[1:] - p[0])) / 6.0
+        assert abs(vol - 1.0) < 1e-12
+        # no two tets share 4 corners
+        for t1, t2 in combinations(range(6), 2):
+            assert len(set(_TETS[t1]) & set(_TETS[t2])) < 4
+
+
+class TestMarchingSphere:
+    @pytest.fixture(scope="class")
+    def mesh(self):
+        sdf, origin, res = sphere_sdf_grid(n=36)
+        soup = marching_tetrahedra(sdf, origin=origin, res=res)
+        verts, faces = weld_mesh(soup, tol=res * 1e-3)
+        return verts, faces, res
+
+    def test_vertices_on_the_sphere(self, mesh):
+        verts, faces, res = mesh
+        assert verts.shape[0] > 200
+        r = np.linalg.norm(verts, axis=1)
+        # linear interpolation error is O(res^2 * curvature)
+        assert np.abs(r - 1.0).max() < 0.5 * res
+
+    def test_closed_genus0_topology(self, mesh):
+        """V - E + F == 2 for a closed sphere-topology mesh — a strong
+        whole-pipeline invariant (any missing/duplicated triangle or bad
+        weld breaks it)."""
+        verts, faces, res = mesh
+        edges = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]],
+                                faces[:, [2, 0]]])
+        edges = np.unique(np.sort(edges, axis=1), axis=0)
+        euler = verts.shape[0] - edges.shape[0] + faces.shape[0]
+        assert euler == 2, euler
+
+    def test_every_edge_shared_by_two_faces(self, mesh):
+        verts, faces, res = mesh
+        edges = np.sort(np.concatenate(
+            [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]]), axis=1)
+        _, counts = np.unique(edges, axis=0, return_counts=True)
+        assert (counts == 2).all()
+
+    def test_normals_point_outward(self, mesh):
+        verts, faces, res = mesh
+        p = verts[faces]                                  # (T, 3, 3)
+        n = np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0])
+        c = p.mean(1)
+        frac_out = ((n * c).sum(1) > 0).mean()
+        assert frac_out > 0.99
+
+    def test_unobserved_cells_are_skipped(self):
+        sdf, origin, res = sphere_sdf_grid(n=24)
+        w = np.ones_like(sdf)
+        w[:12] = 0.0                      # half the volume unobserved
+        soup = marching_tetrahedra(sdf, weight=w, origin=origin, res=res)
+        assert soup.shape[0] > 0
+        assert soup[..., 0].min() >= origin[0] + 10 * res
+
+
+class TestMeshClean:
+    def test_floater_removed(self):
+        sdf, origin, res = sphere_sdf_grid(n=40, extent=2.0)
+        # add a 2-voxel floater shell far from the main sphere
+        xs = np.linspace(-2.0, 2.0, 40, dtype=np.float32)
+        X, Y, Z = np.meshgrid(xs, xs, xs, indexing="ij")
+        floater = np.sqrt((X - 1.7)**2 + (Y - 1.7)**2 + (Z - 1.7)**2) - 0.1
+        sdf = np.minimum(sdf, floater)
+        verts, faces = weld_mesh(
+            marching_tetrahedra(sdf, origin=origin, res=res),
+            tol=res * 1e-3)
+        v2, f2 = clean_mesh(verts, faces, min_component_frac=0.02)
+        assert f2.shape[0] < faces.shape[0]      # something was dropped
+        assert np.linalg.norm(v2, axis=1).max() < 1.3   # floater gone
+        # the main sphere survives intact
+        assert f2.shape[0] > 0.8 * faces.shape[0] - 100
+
+    def test_empty_input(self):
+        v, f = clean_mesh(np.zeros((5, 3), np.float32),
+                          np.zeros((0, 3), np.int32))
+        assert f.shape[0] == 0
+
+
+# ------------------------------------------------------------- TSDF fusion
+
+class TestTsdf:
+    def test_sphere_from_rendered_depths(self):
+        from tpu3drec.mvs.tsdf import TsdfGrid, integrate_depth_maps
+
+        cam = CameraConfig(fx=80.0, fy=80.0, cx=48.0, cy=36.0,
+                           width=96, height=72)
+        Rs, ts, depths = [], [], []
+        for ang in np.linspace(0, 2 * np.pi, 8, endpoint=False):
+            eye = 3.0 * np.array([np.cos(ang), 0.3, np.sin(ang)])
+            R, t = look_at_pose(eye)
+            Rs.append(R)
+            ts.append(t)
+            depths.append(render_sphere_depth(R, t, cam))
+        K = np.array([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]],
+                     np.float32)
+        grid = TsdfGrid.allocate(origin=(-1.3, -1.3, -1.3),
+                                 dims=(40, 40, 40), res=0.065)
+        grid = integrate_depth_maps(grid, np.stack(depths), K,
+                                    np.stack(Rs), np.stack(ts))
+        soup = marching_tetrahedra(np.asarray(grid.tsdf),
+                                   np.asarray(grid.weight),
+                                   grid.origin, grid.res)
+        verts, faces = weld_mesh(soup, tol=grid.res * 1e-3)
+        assert verts.shape[0] > 100
+        r = np.linalg.norm(verts, axis=1)
+        assert np.abs(np.median(r) - 1.0) < grid.res
+        assert np.abs(r - 1.0).max() < 3 * grid.res
+
+
+# ------------------------------------------------------------ plane sweep
+
+@pytest.fixture(scope="module")
+def rendered_views():
+    """Textured urban scene + 6 nearby views with real occlusion."""
+    from tpu3drec.data.capture_sim import PlanarScene
+
+    rng = np.random.default_rng(7)
+    scene = PlanarScene.urban(rng, n_boxes=6, extent=18.0)
+    cam = CameraConfig(fx=110.0, fy=110.0, cx=64.0, cy=48.0,
+                       width=128, height=96)
+    Rs, ts, imgs, depths = [], [], [], []
+    for i in range(6):
+        eye = np.array([-2.5 + i * 1.0, -1.2, -16.0 + 0.3 * i])
+        R, t = look_at_pose(eye, target=(0.0, 0.0, 12.0))
+        rgb, d = scene.render(R.astype(np.float32), t.astype(np.float32),
+                              cam, max_depth=80.0)
+        Rs.append(R)
+        ts.append(t)
+        imgs.append(rgb.mean(-1).astype(np.float32) / 255.0)
+        depths.append(d)
+    K = np.array([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]],
+                 np.float32)
+    return (np.stack(imgs), np.stack(depths), np.stack(Rs).astype(np.float32),
+            np.stack(ts).astype(np.float32), K, cam)
+
+
+class TestPlaneSweep:
+    def test_recovers_rendered_depth(self, rendered_views):
+        from tpu3drec.mvs.plane_sweep import plane_sweep_depth
+
+        imgs, gt_depths, Rs, ts, K, cam = rendered_views
+        ref = 2
+        src = [0, 1, 3, 4]
+        d, z, nv = plane_sweep_depth(
+            imgs[ref], imgs[src], K, Rs[ref], ts[ref], Rs[src], ts[src],
+            d_min=4.0, d_max=60.0, n_planes=96, window=7)
+        d = np.asarray(d)
+        z = np.asarray(z)
+        inrange = (gt_depths[ref] > 4.0) & (gt_depths[ref] < 60.0)
+        conf = (z > 0.7) & (np.asarray(nv) >= 2) & inrange
+        # >60% of the pixels with in-range true depth must be confident
+        # (the rest are occlusion shadows / textureless ground at grazing
+        # angles); the renderer leaves beyond-max_depth pixels at 0, so
+        # the denominator is the in-range set, not the full image
+        frac = conf.sum() / inrange.sum()
+        assert frac > 0.6, f"only {frac:.0%} of in-range pixels confident"
+        rel = np.abs(d[conf] - gt_depths[ref][conf]) / gt_depths[ref][conf]
+        # 96 inverse-depth planes over [4, 60] quantize ~4% at the median
+        # scene depth; parabola refinement roughly halves it
+        assert np.median(rel) < 0.035, float(np.median(rel))
+
+    def test_geometric_consistency_rejects_corruption(self, rendered_views):
+        from tpu3drec.mvs.plane_sweep import geometric_consistency
+
+        imgs, gt_depths, Rs, ts, K, cam = rendered_views
+        depths = gt_depths.copy()
+        depths[5] *= 1.5                     # one corrupted view
+        masks = geometric_consistency(depths, K, Rs, ts, rel_err=0.02,
+                                      min_consistent=2)
+        # denominators: only pixels that HAVE depth (sky/beyond-range
+        # renders as 0 and can never validate)
+        good = masks[:5][gt_depths[:5] > 0].mean()
+        bad = masks[5][gt_depths[5] > 0].mean()
+        assert good > 0.55, good             # GT views mostly validated
+        assert bad < 0.05, bad               # corrupted view rejected
+
+
+# ------------------------------------------------------------ end to end
+
+@pytest.mark.slow
+def test_mvs_pipeline_e2e(rendered_views, tmp_path):
+    """Full dense pipeline on the rendered scene: the mesh must lie on the
+    true geometry — every vertex is projected into a view that sees it and
+    checked against the rendered GT depth."""
+    from tpu3drec.pipelines.mvs import MvsConfig, run_mvs
+
+    imgs, gt_depths, Rs, ts, K, cam = rendered_views
+    cfg = MvsConfig(n_src=4, n_planes=160, d_min=4.0, d_max=60.0,
+                    min_zncc=0.6, voxel_res=0.35, max_grid_dim=200)
+    out = run_mvs(imgs, K, Rs, ts, cfg)
+    verts, faces = out["verts"], out["faces"]
+    assert faces.shape[0] > 200, faces.shape
+    assert out["points"].shape[0] > 5000
+
+    # true point-to-surface distance: mesh vertices vs the GT point cloud
+    # (unprojected rendered depths). Along-ray |z - d_gt| checks would
+    # overestimate on grazing surfaces (the ground plane), so measure in 3D.
+    from scipy.spatial import cKDTree
+
+    gt_pts = []
+    for f in range(imgs.shape[0]):
+        d = gt_depths[f]
+        v, u = np.nonzero(d > 0)
+        z = d[v, u]
+        x = (u - K[0, 2]) / K[0, 0] * z
+        y = (v - K[1, 2]) / K[1, 1] * z
+        p = np.stack([x, y, z], 1) - ts[f]
+        gt_pts.append(p @ Rs[f])             # R^T applied rowwise
+    gt_pts = np.concatenate(gt_pts)
+    dist, _ = cKDTree(gt_pts).query(verts, k=1)
+    # 3 voxels: fusing GROUND-TRUTH depths through the same TSDF+MT chain
+    # measures 98.5% within 2 voxels (the fusion floor); plane-sweep depth
+    # error at the median 18 m scene depth adds ~1 voxel
+    ok = dist < 3 * cfg.voxel_res
+    assert ok.mean() > 0.9, f"only {ok.mean():.0%} of verts on surface"
+
+    # artifact contract: mesh writes + reads back
+    from tpu3drec.utils.plyio import read_ply_mesh, write_ply_mesh
+
+    p = str(tmp_path / "mesh.ply")
+    write_ply_mesh(p, verts, faces)
+    v2, f2 = read_ply_mesh(p)
+    assert v2.shape == verts.shape and f2.shape == faces.shape
+
+
+class TestPlyMeshIO:
+    def test_roundtrip_ascii_and_binary(self, tmp_path):
+        from tpu3drec.utils.plyio import read_ply_mesh, write_ply_mesh
+
+        rng = np.random.default_rng(0)
+        verts = rng.standard_normal((17, 3)).astype(np.float32)
+        faces = rng.integers(0, 17, (31, 3)).astype(np.int32)
+        for binary in (False, True):
+            p = str(tmp_path / f"m_{binary}.ply")
+            write_ply_mesh(p, verts, faces, binary=binary)
+            v, f = read_ply_mesh(p)
+            assert np.allclose(v, verts, atol=1e-4)
+            assert (f == faces).all()

@@ -351,6 +351,45 @@ def _cmd_mission_sim(args):
     return 0 if int(state.phase) == int(Phase.LANDED) else 1
 
 
+def _cmd_mvs(args):
+    """Dense MVS: posed images -> per-view depth -> TSDF -> cleaned mesh
+    (the MVE alternative pipeline, `ref/software_record/mve使用指南.docx`)."""
+    from PIL import Image
+    from scipy.spatial.transform import Rotation as ScipyR
+
+    from tpu3drec.pipelines.mvs import MvsConfig, run_mvs
+    from tpu3drec.utils.plyio import write_ply, write_ply_mesh
+    from tpu3drec.utils.poseio import read_pose_txt
+
+    paths = sorted(glob.glob(os.path.join(args.images, "*")))
+    imgs = np.stack([
+        np.asarray(Image.open(p).convert("L"), np.float32) / 255.0
+        for p in paths])
+    records = read_pose_txt(args.poses)
+    by_name = {r.image_name: r for r in records}
+    Rs, ts = [], []
+    for p in paths:
+        r = by_name.get(os.path.basename(p), None)
+        if r is None:
+            raise SystemExit(f"no pose for image {os.path.basename(p)}")
+        Rs.append(ScipyR.from_quat(r.q_xyzw).as_matrix())
+        ts.append(r.t)
+    Rs = np.stack(Rs).astype(np.float32)
+    ts = np.stack(ts).astype(np.float32)
+    K = np.array([[args.fx, 0, args.cx], [0, args.fy, args.cy], [0, 0, 1]],
+                 np.float32)
+    cfg = MvsConfig(n_src=args.n_src, n_planes=args.n_planes,
+                    d_min=args.d_min, d_max=args.d_max,
+                    voxel_res=args.voxel_res, verbose=True)
+    out = run_mvs(imgs, K, Rs, ts, cfg)
+    write_ply_mesh(args.out, out["verts"], out["faces"])
+    print(f"mesh: {out['verts'].shape[0]} verts, "
+          f"{out['faces'].shape[0]} faces -> {args.out}")
+    if args.out_points:
+        write_ply(args.out_points, out["points"])
+        print(f"point set: {out['points'].shape[0]} -> {args.out_points}")
+
+
 def main(argv=None):
     # persistent compile cache: remote-compile latency on tunneled TPUs is
     # highly variable (measured 2s-180s for identical programs) — repeat CLI
@@ -479,6 +518,25 @@ def main(argv=None):
     q.add_argument("--cruise-alt", dest="cruise_alt", type=float, default=4.0)
     q.add_argument("--out-traj", dest="out_traj", default=None)
     q.set_defaults(fn=_cmd_mission_sim)
+
+    q = sub.add_parser("mvs", help="posed images -> dense depth + TSDF mesh "
+                       "(MVE dmrecon/scene2pset/fssrecon/meshclean analogue)")
+    q.add_argument("--images", required=True)
+    q.add_argument("--poses", required=True, help="pose txt (world->cam, "
+                   "same contract as `rgbd`)")
+    q.add_argument("--fx", type=float, default=600.391)
+    q.add_argument("--fy", type=float, default=600.079)
+    q.add_argument("--cx", type=float, default=320.0)
+    q.add_argument("--cy", type=float, default=240.0)
+    q.add_argument("--n-src", dest="n_src", type=int, default=4)
+    q.add_argument("--n-planes", dest="n_planes", type=int, default=64)
+    q.add_argument("--d-min", dest="d_min", type=float, default=1.0)
+    q.add_argument("--d-max", dest="d_max", type=float, default=80.0)
+    q.add_argument("--voxel-res", dest="voxel_res", type=float, default=0.0,
+                   help="0 = auto (median depth / 100)")
+    q.add_argument("--out", default="mesh.ply")
+    q.add_argument("--out-points", dest="out_points", default="")
+    q.set_defaults(fn=_cmd_mvs)
 
     q = sub.add_parser("ply2bt", help="PLY -> octomap .bt")
     q.add_argument("ply")
