@@ -100,12 +100,14 @@ def integrate_depth_maps(grid: TsdfGrid, depths, K, Rs, ts,
                          masks=None) -> TsdfGrid:
     """Fuse (F, H, W) depth maps (world->cam poses Rs/ts) into the grid.
 
-    One jit: `lax.scan` over frames carrying (tsdf, weight); the voxel-
-    center tensor is computed once and reused. `masks` (F, H, W) bool
-    optionally zeroes out unvalidated pixels (the geometric_consistency
-    output) before integration.
+    One jit: `lax.scan` over frames carrying (tsdf, weight). The voxel-
+    center tensor is built INSIDE the jit from origin/res so GSPMD
+    propagates the grid's sharding into it — a grid `device_put` with its
+    x-axis sharded over the mesh integrates as independent per-device
+    slabs with zero collectives (depth maps are replicated; each device
+    gathers from its own copy). `masks` (F, H, W) bool optionally zeroes
+    out unvalidated pixels (the geometric_consistency output).
     """
-    centers = voxel_centers(grid)
     depths = jnp.asarray(depths, jnp.float32)
     if masks is not None:
         depths = jnp.where(jnp.asarray(masks), depths, 0.0)
@@ -113,9 +115,19 @@ def integrate_depth_maps(grid: TsdfGrid, depths, K, Rs, ts,
     Rs = jnp.asarray(Rs, jnp.float32)
     ts = jnp.asarray(ts, jnp.float32)
     trunc = jnp.float32(grid.trunc)
+    origin = jnp.asarray(grid.origin, jnp.float32)
+    res = jnp.float32(grid.res)
 
     @jax.jit
     def run(tsdf, weight):
+        X, Y, Z = tsdf.shape
+        ix = jax.lax.broadcasted_iota(jnp.float32, (X, Y, Z), 0)
+        iy = jax.lax.broadcasted_iota(jnp.float32, (X, Y, Z), 1)
+        iz = jax.lax.broadcasted_iota(jnp.float32, (X, Y, Z), 2)
+        centers = jnp.stack([origin[0] + ix * res,
+                             origin[1] + iy * res,
+                             origin[2] + iz * res], axis=-1)
+
         def step(carry, frame):
             tsdf, weight = carry
             d, R, t = frame
