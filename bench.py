@@ -29,19 +29,29 @@ _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
 import numpy as np
 
 
+_HEADLINE: dict | None = None  # set once the fusion number is measured
+
+
 def _fail_line(msg: str, code: int = 2) -> None:
+    # the driver parses the LAST stdout line: if the headline was already
+    # measured, re-emit IT (annotated) rather than zeroing the round's
+    # record with a value-0 wedge line (rounds 2 and 4 lost real numbers
+    # this way — VERDICT r4 item 3)
+    if _HEADLINE is not None:
+        print(json.dumps({**_HEADLINE, "extra": {"error": msg}}), flush=True)
+        os._exit(0)
     print(json.dumps({
         "metric": "rgbd_fusion_frames_per_s",
         "value": 0,
         "unit": "frames/s",
         "vs_baseline": 0,
         "error": msg,
-    }))
+    }), flush=True)
     os._exit(code)
 
 
 def _device_watchdog(timeout_s: float = 240.0, retries: int = 1,
-                     budget_s: float = 1500.0) -> None:
+                     budget_s: float = 1500.0) -> float:
     """Fail FAST with one parseable JSON line if the device never responds.
 
     The relay runtime can wedge (round 2: a pathological Pallas compile
@@ -54,12 +64,19 @@ def _device_watchdog(timeout_s: float = 240.0, retries: int = 1,
     2. a global SIGALRM deadline on the whole bench: even if the relay
        wedges MID-bench (after a healthy probe), one parseable line still
        lands before the driver's budget burns.
+
+    Returns the probe's round-trip op seconds (a relay-health signal:
+    round 4's "healthy" probe still took 203 s per dispatch, and the
+    extras then ate the whole 1500 s budget before the headline printed —
+    the caller skips the extras when this is large).
     """
+    import re
     import signal
     import subprocess
 
     probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "tools", "relay_probe.py")
+    op_s = float("inf")
     for attempt in range(retries + 1):
         try:
             r = subprocess.run([sys.executable, probe],
@@ -67,6 +84,9 @@ def _device_watchdog(timeout_s: float = 240.0, retries: int = 1,
                                timeout=timeout_s)
             if r.returncode == 0:
                 sys.stderr.write(f"[bench] probe: {r.stdout.strip()}\n")
+                m = re.search(r"op=([0-9.]+)s", r.stdout)
+                if m:
+                    op_s = float(m.group(1))
                 break
         except subprocess.TimeoutExpired:
             sys.stderr.write(
@@ -85,6 +105,7 @@ def _device_watchdog(timeout_s: float = 240.0, retries: int = 1,
 
     signal.signal(signal.SIGALRM, on_alarm)
     signal.alarm(int(budget_s))
+    return op_s
 
 
 def main() -> None:
@@ -95,7 +116,7 @@ def main() -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
-    _device_watchdog()
+    probe_op_s = _device_watchdog()
     import jax.numpy as jnp
 
     from baseline.reference_cpu import gentxtcord_equiv, world_transform_equiv
@@ -151,29 +172,42 @@ def main() -> None:
     tpu_fps = F / per_iter
     baseline_fps = 1.0 / baseline_s_per_frame
 
+    global _HEADLINE
+    headline = _HEADLINE = {
+        "metric": "rgbd_fusion_frames_per_s",
+        "value": round(tpu_fps, 2),
+        "unit": "frames/s (480x640, unproject+world+voxel-dedup)",
+        "vs_baseline": round(tpu_fps / baseline_fps, 2),
+    }
+    # emit the headline the MOMENT it exists (VERDICT r4 item 3): extras
+    # at up to 420 s each can blow the driver's global budget on a
+    # degraded relay, and the SIGALRM _fail_line then zeroed an already-
+    # measured number (rounds 2 and 4). The driver parses the LAST line,
+    # so this early line is overwritten by the full record below when the
+    # extras complete — and stands as the record when they don't.
+    print(json.dumps(headline), flush=True)
+
     # wider kernel-family numbers, folded into the SAME json line. Each
     # runs in a FRESH subprocess: this container's relay runtime gains
     # per-dispatch overhead with process dispatch history (measured: the
     # identical train step is 2.7 ms in a fresh process, 22 ms after one
     # prior bench, 150 ms after the fusion bench — design.md §6), so
     # in-process numbers after the headline would measure relay state,
-    # not the hardware.
+    # not the hardware. On a degraded relay (probe op > 60 s — round 4
+    # measured 203 s) skip them outright: they cannot finish inside the
+    # budget and the headline is already on stdout.
     extra = {}
-    for name in ("matcher_pairs_per_s", "ba_iter_ms",
-                 "train_examples_per_s"):
-        extra[name] = _run_isolated(name)
+    if probe_op_s > 60.0:
+        sys.stderr.write(
+            f"[bench] probe op {probe_op_s:.0f}s > 60s: relay degraded, "
+            "skipping extras (headline already emitted)\n")
+        extra = {"skipped": f"relay degraded (probe op {probe_op_s:.0f}s)"}
+    else:
+        for name in ("matcher_pairs_per_s", "ba_iter_ms",
+                     "train_examples_per_s"):
+            extra[name] = _run_isolated(name)
 
-    print(
-        json.dumps(
-            {
-                "metric": "rgbd_fusion_frames_per_s",
-                "value": round(tpu_fps, 2),
-                "unit": "frames/s (480x640, unproject+world+voxel-dedup)",
-                "vs_baseline": round(tpu_fps / baseline_fps, 2),
-                "extra": extra,
-            }
-        )
-    )
+    print(json.dumps({**headline, "extra": extra}), flush=True)
 
 
 _FAMILIES = {}
