@@ -40,49 +40,59 @@ FY = 718.856 / 376.0 * HEIGHT
 CX, CY = 0.489 * WIDTH, 0.493 * HEIGHT
 
 SEQ_LAYOUTS = {
-    # name -> (scene seed, n_boxes, block half-extents (x, z) in metres)
+    # name -> (scene seed, n_boxes, block half-extents (x, z) in metres
+    #          [, corner radius as a fraction of min extent])
     "s00": (11, 26, (42.0, 60.0)),
     "s01": (23, 32, (55.0, 40.0)),
     "s02": (37, 22, (35.0, 35.0)),
+    # mid-scale regression layout (tests/test_midscale.py): a small block
+    # with a WIDE corner radius so 150 frames give the same per-frame
+    # spacing (~0.7 m) and corner yaw rate (~3 deg/frame) as the 500-frame
+    # s00 run — the regression pins the long-sequence GLUE (stitching,
+    # relocalization, pose graph, global BA: where rounds 3 and 4 broke
+    # silently), not front-end robustness to sparse sampling
+    "m00": (11, 14, (16.0, 16.0), 0.8),
 }
 
 
 def city_block_trajectory(n_frames: int, ext_x: float, ext_z: float,
-                          speed: float = 1.06):
+                          speed: float = 1.06, corner_frac: float = 0.35):
     """Rounded-rectangle drive returning to the start: four straights +
     four 90-degree turns (world->cam (R, t) pairs, KITTI convention: x
-    right, y down, z forward)."""
+    right, y down, z forward). The path parameter wraps by the TRUE
+    perimeter (straights + arcs), so every frame advances uniformly and
+    `speed` > 1 revisits the start for loop closure."""
     from scipy.spatial.transform import Rotation as ScipyR
 
-    # perimeter path on the (x, z) plane
-    per = 2 * (2 * ext_x + 2 * ext_z)
-    s_vals = np.linspace(0.0, per, n_frames, endpoint=False)
-    # param: rectangle with corner radius r
-    r = min(ext_x, ext_z) * 0.35
+    # param: rectangle with corner radius r on the (x, z) plane
+    r = min(ext_x, ext_z) * corner_frac
     sx, sz = ext_x - r, ext_z - r
-
-    def point(s):
-        # walk the rounded rectangle counterclockwise from (-sx, -ext_z)
-        segs = [
-            (2 * sx, lambda u: (np.array([-sx + u, -ext_z]), 0.0)),
-            (np.pi / 2 * r, lambda u: _corner(u, r, (sx, -sz), -np.pi / 2)),
-            (2 * sz, lambda u: (np.array([ext_x, -sz + u]), np.pi / 2)),
-            (np.pi / 2 * r, lambda u: _corner(u, r, (sx, sz), 0.0)),
-            (2 * sx, lambda u: (np.array([sx - u, ext_z]), np.pi)),
-            (np.pi / 2 * r, lambda u: _corner(u, r, (-sx, sz), np.pi / 2)),
-            (2 * sz, lambda u: (np.array([-ext_x, sz - u]), -np.pi / 2)),
-            (np.pi / 2 * r, lambda u: _corner(u, r, (-sx, -sz), np.pi)),
-        ]
-        for length, fn in segs:
-            if s <= length:
-                return fn(s)
-            s -= length
-        return segs[-1][1](length)
 
     def _corner(u, r, c, phi0):
         a = phi0 + u / r
         p = np.array([c[0] + r * np.cos(a), c[1] + r * np.sin(a)])
         return p, a + np.pi / 2
+
+    # walk the rounded rectangle counterclockwise from (-sx, -ext_z)
+    segs = [
+        (2 * sx, lambda u: (np.array([-sx + u, -ext_z]), 0.0)),
+        (np.pi / 2 * r, lambda u: _corner(u, r, (sx, -sz), -np.pi / 2)),
+        (2 * sz, lambda u: (np.array([ext_x, -sz + u]), np.pi / 2)),
+        (np.pi / 2 * r, lambda u: _corner(u, r, (sx, sz), 0.0)),
+        (2 * sx, lambda u: (np.array([sx - u, ext_z]), np.pi)),
+        (np.pi / 2 * r, lambda u: _corner(u, r, (-sx, sz), np.pi / 2)),
+        (2 * sz, lambda u: (np.array([-ext_x, sz - u]), -np.pi / 2)),
+        (np.pi / 2 * r, lambda u: _corner(u, r, (-sx, -sz), np.pi)),
+    ]
+    per = sum(length for length, _ in segs)
+    s_vals = np.linspace(0.0, per, n_frames, endpoint=False)
+
+    def point(s):
+        for length, fn in segs:
+            if s <= length:
+                return fn(s)
+            s -= length
+        return segs[-1][1](length)
 
     poses = []
     for s in s_vals * speed % per:
@@ -144,18 +154,22 @@ def render_sequence(name: str, n_frames: int, noise: bool = True,
     """Returns (images (F,H,W) float, depths (F,H,W) float, gt_T (F,4,4))."""
     from tpu3drec.utils.config import CameraConfig
 
-    seed, n_boxes, ext = SEQ_LAYOUTS[name]
+    layout = SEQ_LAYOUTS[name]
+    seed, n_boxes, ext = layout[:3]
+    corner_frac = layout[3] if len(layout) > 3 else 0.35
     cache = None
     if cache_dir:
+        # "ate2": the trajectory generator wraps by the true perimeter
+        # since round 5 — pre-round-5 caches sample a different path
         cache = os.path.join(
             cache_dir,
-            f"ate_{name}_{n_frames}_{int(noise)}_{int(degrade)}.npz")
+            f"ate2_{name}_{n_frames}_{int(noise)}_{int(degrade)}.npz")
         if os.path.exists(cache):
             z = np.load(cache)
             return z["images"], z["depths"], z["gt_T"]
     scene = build_scene(seed, n_boxes, ext)
     cam = CameraConfig(fx=FX, fy=FY, cx=CX, cy=CY, width=WIDTH, height=HEIGHT)
-    poses = city_block_trajectory(n_frames, *ext)
+    poses = city_block_trajectory(n_frames, *ext, corner_frac=corner_frac)
     rng = np.random.default_rng(seed + 1)
     images, depths, gt_T = [], [], []
     for f, (R, t) in enumerate(poses):

@@ -91,16 +91,21 @@ _CASE_TABLE = _build_case_table()
 
 
 @partial(jax.jit, static_argnames=())
-def _emit_triangles(cells_xyz, tsdf, origin, res, iso):
+def _emit_triangles(cells_xyz, tsdf, origin, res, iso,
+                    cell_offset=jnp.zeros(3, jnp.int32)):
     """cells_xyz: (A, 3) int32 active-cell coords. Returns
-    (verts (A, 6, 2, 3, 3), valid (A, 6, 2))."""
+    (verts (A, 6, 2, 3, 3), valid (A, 6, 2)). ``cell_offset`` shifts the
+    POSITION of every cell by whole voxels (the sharded path passes its
+    slab's global x offset so vertex arithmetic is bit-identical to the
+    full-grid path: (offset + corner) * res, never offset*res + corner*res)."""
     X, Y, Z = tsdf.shape
     flat = tsdf.reshape(-1)
 
     corners = cells_xyz[:, None, :] + _CORNERS[None]          # (A, 8, 3)
     cidx = (corners[..., 0] * Y + corners[..., 1]) * Z + corners[..., 2]
     vals = flat[cidx.reshape(-1)].reshape(corners.shape[:2])  # (A, 8)
-    pos = origin[None, None] + corners.astype(jnp.float32) * res
+    pos = origin[None, None] + (
+        corners + cell_offset[None, None]).astype(jnp.float32) * res
 
     tet_vals = vals[:, _TETS]                                 # (A, 6, 4)
     tet_pos = pos[:, _TETS]                                   # (A, 6, 4, 3)
@@ -197,6 +202,130 @@ def marching_tetrahedra(tsdf, weight=None, origin=(0.0, 0.0, 0.0),
     valid = np.asarray(valid).copy()
     valid[A:] = False
     return verts[valid].astype(np.float32)
+
+
+def marching_tetrahedra_sharded(
+    tsdf, weight, origin, res: float, mesh, axis: str = "data",
+    iso: float = 0.0, cells_per_shard: int = 4096,
+):
+    """Per-slab marching tetrahedra over an x-sharded TSDF grid — the
+    sharded surface extraction the TSDF docstring promises (tsdf.py:
+    "marching cubes later needs a one-plane halo, nothing else").
+
+    Each device owns a contiguous x-slab of the grid (the same layout
+    `integrate_depth_maps` shards over the mesh). Cells straddle voxel
+    planes, so a slab's last cell layer needs the FIRST tsdf/weight plane
+    of the next device: exactly one (Y, Z) plane, exchanged with a single
+    `ppermute` around the ring — the whole surface extraction then runs
+    with zero further communication. Active cells are compacted
+    device-side to a fixed ``cells_per_shard`` capacity
+    (jnp.nonzero(size=...) — static shapes, no host round-trip), and
+    triangle emission reuses the exact `_emit_triangles` kernel of the
+    host path, so the two paths agree triangle-for-triangle
+    (tests/test_mvs.py::TestShardedMarching).
+
+    Returns (verts (n_shards*cap, 6, 2, 3, 3), valid (...), n_active
+    (n_shards,)) as host arrays; callers check n_active <= cap and re-run
+    with a doubled cap on overflow (bucketed recompiles, same discipline
+    as the BA pads).
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # pre-0.8 jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    if isinstance(axis, (tuple, list)):
+        n = int(np.prod([mesh.shape[a] for a in axis]))
+        axis = tuple(axis)
+    else:
+        n = mesh.shape[axis]
+    tsdf_np = np.asarray(tsdf)
+    X, Y, Z = tsdf_np.shape
+    w_np = (np.asarray(weight) if weight is not None
+            else np.ones_like(tsdf_np))
+    # pad X to a multiple of the shard count; padded planes are unobserved
+    # (weight 0) so no padded cell can activate
+    Xp = -(-X // n) * n
+    if Xp != X:
+        tsdf_np = np.concatenate(
+            [tsdf_np, np.ones((Xp - X, Y, Z), tsdf_np.dtype)])
+        w_np = np.concatenate([w_np, np.zeros((Xp - X, Y, Z), w_np.dtype)])
+    Xl = Xp // n
+    origin = np.asarray(origin, np.float32)
+
+    def slab(t_l, w_l):
+        idx = jax.lax.axis_index(axis)
+        perm = [(i, (i - 1) % n) for i in range(n)]
+        halo_t = jax.lax.ppermute(t_l[0], axis, perm)   # next shard's plane
+        halo_w = jax.lax.ppermute(w_l[0], axis, perm)
+        t_ext = jnp.concatenate([t_l, halo_t[None]], axis=0)  # (Xl+1, Y, Z)
+        w_ext = jnp.concatenate([w_l, halo_w[None]], axis=0)
+
+        inside = t_ext < iso
+
+        def cmax(a):
+            return jnp.maximum(
+                jnp.maximum(jnp.maximum(a[:-1, :-1, :-1], a[1:, :-1, :-1]),
+                            jnp.maximum(a[1:, 1:, :-1], a[:-1, 1:, :-1])),
+                jnp.maximum(jnp.maximum(a[:-1, :-1, 1:], a[1:, :-1, 1:]),
+                            jnp.maximum(a[1:, 1:, 1:], a[:-1, 1:, 1:])))
+
+        def cmin(a):
+            return jnp.minimum(
+                jnp.minimum(jnp.minimum(a[:-1, :-1, :-1], a[1:, :-1, :-1]),
+                            jnp.minimum(a[1:, 1:, :-1], a[:-1, 1:, :-1])),
+                jnp.minimum(jnp.minimum(a[:-1, :-1, 1:], a[1:, :-1, 1:]),
+                            jnp.minimum(a[1:, 1:, 1:], a[:-1, 1:, 1:])))
+
+        active = cmax(inside) & ~cmin(inside) & cmin(w_ext > 0)
+        # the wrap-around halo (last shard receives shard 0's plane) and
+        # the X-pad must not emit: global cell x must be < X-1
+        gx = idx * Xl + jnp.arange(Xl)
+        active &= (gx < X - 1)[:, None, None]
+        n_active = active.sum().astype(jnp.int32)
+        (flat_idx,) = jnp.nonzero(active.reshape(-1),
+                                  size=cells_per_shard, fill_value=-1)
+        ok = flat_idx >= 0
+        safe = jnp.maximum(flat_idx, 0)
+        cy = (Y - 1) * (Z - 1)
+        cells = jnp.stack(
+            [safe // cy, (safe % cy) // (Z - 1), safe % (Z - 1)],
+            axis=1).astype(jnp.int32)
+        offset = jnp.array([1, 0, 0], jnp.int32) * (idx * Xl).astype(
+            jnp.int32)
+        verts, valid = _emit_triangles(
+            cells, t_ext, jnp.asarray(origin), jnp.float32(res),
+            jnp.float32(iso), cell_offset=offset)
+        valid = valid & ok[:, None, None]
+        return verts, valid, n_active[None]
+
+    t_d = jax.device_put(jnp.asarray(tsdf_np, jnp.float32),
+                         NamedSharding(mesh, P(axis)))
+    w_d = jax.device_put(jnp.asarray(w_np, jnp.float32),
+                         NamedSharding(mesh, P(axis)))
+    verts, valid, n_active = shard_map(
+        slab, mesh=mesh, in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis)))(t_d, w_d)
+    return (np.asarray(verts), np.asarray(valid),
+            np.asarray(n_active))
+
+
+def marching_tetrahedra_sharded_soup(
+    tsdf, weight, origin, res: float, mesh, axis: str = "data",
+    iso: float = 0.0, cells_per_shard: int = 4096,
+):
+    """Convenience wrapper: sharded extraction -> (T, 3, 3) triangle soup
+    (host), automatically doubling the per-shard capacity on overflow."""
+    cap = cells_per_shard
+    while True:
+        verts, valid, n_active = marching_tetrahedra_sharded(
+            tsdf, weight, origin, res, mesh, axis=axis, iso=iso,
+            cells_per_shard=cap)
+        if int(n_active.max()) <= cap:
+            return verts[valid].astype(np.float32)
+        cap *= 2
 
 
 def weld_mesh(tri_soup: np.ndarray, tol: float = 1e-5):

@@ -42,6 +42,10 @@ class KittiRunConfig:
                               # removed the split-island failure mode that
                               # made relocalization anchor-set-sensitive
                               # (ROUND_NOTES round 2).
+    global_ba: bool = True    # final global bundle adjustment over the
+                              # stitched+pose-graph-refined trajectory
+                              # (sfm/global_refine.py — COLMAP's global-BA
+                              # analogue; the round-4 7%-drift fix)
     seed: int = 0
     verbose: bool = False
     parallel_windows: int = 1  # >1: reconstruct this many windows
@@ -323,7 +327,14 @@ def run_windowed_sfm(
         Ts = [global_T.get(f) for f in range(F)]
         window_edges += closure_edges
     if cfg.pose_graph:
-        Ts = _refine_with_pose_graph(Ts, window_edges)
+        Ts = _refine_with_pose_graph(Ts, window_edges, verbose=cfg.verbose)
+    if cfg.global_ba:
+        from tpu3drec.sfm.global_refine import global_bundle_adjust
+
+        Ts = global_bundle_adjust(
+            Ts, (kps_all, descs_all), K, depth_maps=depth_maps,
+            closures=closures if cfg.loop_closure else None,
+            verbose=cfg.verbose)
     return Ts, recs
 
 
@@ -515,19 +526,35 @@ def _closure_edges(features, K, Ts, cfg, depth_maps=None):
         T_rel = np.eye(4)
         T_rel[:3, :3] = c.R_rel.T
         T_rel[:3, 3] = -c.R_rel.T @ (c.t_dir * dist)
-        edges.append((c.i, c.j, T_rel, 1.0))
+        # tagged "closure": the pose-graph refiner must NOT gate these on
+        # their initial residual — that residual is the drift they remove
+        edges.append((c.i, c.j, T_rel, 1.0, "closure"))
         if cfg.verbose:
             print(f"[kitti] loop closure {c.i}<->{c.j} "
                   f"({c.n_inliers} inliers, |t| {dist:.2f} from {src})")
     return edges, closures
 
 
-def _refine_with_pose_graph(Ts, window_edges):
+def _refine_with_pose_graph(Ts, window_edges, verbose: bool = False):
     """Pose-graph refinement over the stitched trajectory: every window
     contributes relative-pose edges between its registered frames (overlap
     regions get edges from multiple windows — consensus), optimized with
     Gauss-Newton (`sfm/posegraph.py`). Edge translations are rescaled by
-    each window's stitch scale so all measurements share the global scale."""
+    each window's stitch scale so all measurements share the global scale.
+
+    Edge robustness is CLASS-AWARE (the round-4 accuracy gap, VERDICT r4
+    weak 1): odometry edges are locally consistent with the stitched
+    initial guess by construction, so an odometry edge far off the guess
+    (10x the odometry median) is a mis-registration and is hard-gated as
+    before. Loop-closure edges are the OPPOSITE — their initial residual
+    IS the accumulated drift they exist to remove (measured on the
+    500-frame city block: closure residuals ~28 m against a 0.0004 m
+    odometry median; the old class-blind gate zeroed every closure, so
+    the graph faithfully reproduced 7.07%-of-trajectory drift). Closures
+    are therefore never gated against the initial guess; instead the
+    whole graph runs 3 IRLS rounds of Huber reweighting — closures that
+    stay inconsistent AFTER the graph has bent toward the consistent
+    majority (false positives) lose their weight gradually."""
     import jax.numpy as jnp
 
     from tpu3drec.core.se3 import matrix_to_axis_angle
@@ -547,8 +574,10 @@ def _refine_with_pose_graph(Ts, window_edges):
         )
 
     poses6 = np.stack([to6(Ts[f]) for f in present]).astype(np.float32)
-    ei, ej, rel, w = [], [], [], []
-    for (f1, f2, T_rel, s_w) in window_edges:
+    ei, ej, rel, w, is_closure = [], [], [], [], []
+    for edge in window_edges:
+        f1, f2, T_rel, s_w = edge[:4]
+        kind = edge[4] if len(edge) > 4 else "odo"
         if f1 not in idx_of or f2 not in idx_of:
             continue
         if not (np.isfinite(T_rel).all() and np.isfinite(s_w)):
@@ -559,8 +588,10 @@ def _refine_with_pose_graph(Ts, window_edges):
         ej.append(idx_of[f2])
         rel.append(to6(Tr))
         w.append(1.0)
+        is_closure.append(kind == "closure")
     if len(ei) < 2:
         return Ts
+    is_closure = np.asarray(is_closure)
     g = PoseGraph(
         poses=jnp.asarray(poses6),
         edge_i=jnp.asarray(ei, dtype=jnp.int32),
@@ -568,20 +599,46 @@ def _refine_with_pose_graph(Ts, window_edges):
         rel=jnp.asarray(np.stack(rel), dtype=jnp.float32),
         weight=jnp.asarray(w, dtype=jnp.float32),
     )
-    # robust gate: a single mis-registered boundary frame yields an edge
-    # with a huge residual that deforms the whole graph under plain GN
-    # (measured: one 27.9-norm edge among 0.0004-median edges turned a
-    # 0.15 ATE into 1.03). Zero-weight edges far off the initial guess.
     from tpu3drec.sfm.posegraph import edge_residuals
 
+    # hard gate for ODOMETRY edges only: a single mis-registered boundary
+    # frame yields an odometry edge with a huge residual that deforms the
+    # whole graph under plain GN (measured: one 27.9-norm edge among
+    # 0.0004-median edges turned a 0.15 ATE into 1.03)
     r0 = np.linalg.norm(np.asarray(edge_residuals(g.poses, g)), axis=1)
-    gate = max(10.0 * np.median(r0), 0.05)
-    w_robust = np.where(r0 < gate, 1.0, 0.0).astype(np.float32)
+    odo = ~is_closure
+    if odo.any():
+        gate = max(10.0 * np.median(r0[odo]), 0.05)
+        w_robust = np.where(odo & (r0 >= gate), 0.0, 1.0).astype(np.float32)
+    else:
+        w_robust = np.ones(len(r0), np.float32)
     if w_robust.sum() < 2:
         return Ts
+    if verbose:
+        print(f"[kitti] pose graph: {int(odo.sum())} odometry + "
+              f"{int(is_closure.sum())} closure edges, "
+              f"{int((w_robust == 0).sum())} odometry edges gated")
+
     g = g._replace(weight=jnp.asarray(w_robust))
-    opt, _ = optimize_pose_graph(g, iters=10)
-    opt = np.asarray(opt)
+    if is_closure.any():
+        # switchable constraints (posegraph.py): closures are priced by
+        # the optimizer itself — true closures stay on (their drift
+        # redistributes cheaply over the whole odometry chain), false
+        # ones collapse to switch 0 instead of folding the trajectory
+        from tpu3drec.sfm.posegraph import optimize_pose_graph_switchable
+
+        poses_cur, switches, _ = optimize_pose_graph_switchable(
+            g, jnp.asarray(is_closure), iters=15, rot_weight=10.0)
+        if verbose:
+            sw = np.asarray(switches)[is_closure]
+            print(f"[kitti] pose graph switches: "
+                  f"{int((sw > 0.5).sum())}/{len(sw)} closures kept "
+                  f"(min {sw.min():.2f})")
+    else:
+        poses_cur, _ = optimize_pose_graph(g, iters=10, rot_weight=10.0)
+    opt = np.asarray(poses_cur)
+    if not np.isfinite(opt).all():
+        return Ts  # a diverged solve must not poison the trajectory
 
     from tpu3drec.core.se3 import axis_angle_to_matrix
 

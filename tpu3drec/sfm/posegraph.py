@@ -67,8 +67,18 @@ def edge_residuals(poses: jnp.ndarray, g: PoseGraph) -> jnp.ndarray:
 def optimize_pose_graph(
     g: PoseGraph, iters: int = 15, damping: float = 1e-6,
     fix_node_mask: jnp.ndarray | None = None,
+    rot_weight: float = 1.0,
 ):
     """Gauss-Newton pose-graph optimization. Node 0 fixed by default.
+
+    ``rot_weight`` scales the rotation rows of every edge residual
+    relative to translation. Raising it encodes that relative ROTATIONS
+    are measured far more precisely than translations (true of SfM
+    odometry) — and, critically, that rotation errors act through lever
+    arms: a 6-dof residual with equal weights prices a trajectory fold
+    (~pi of rotation spread over a few edges) cheaper than a few metres
+    of translation, which lets one bad constraint bend the whole graph
+    (measured in tests/test_global_refine.py's false-closure case).
 
     Returns (optimized poses (F,6), per-iteration cost (iters,)).
     """
@@ -76,12 +86,16 @@ def optimize_pose_graph(
     if fix_node_mask is None:
         fix_node_mask = jnp.concatenate([jnp.zeros(1), jnp.ones(F - 1)])
     free = jnp.repeat(fix_node_mask, 6)  # (6F,)
+    r_scale = jnp.concatenate([
+        jnp.full(3, rot_weight, g.poses.dtype),
+        jnp.ones(3, g.poses.dtype)])
 
     def gn_step(poses, _):
         def r_of(flat):
             return (
                 edge_residuals(flat.reshape(F, 6), g)
                 * jnp.sqrt(jnp.maximum(g.weight, 0.0))[:, None]
+                * r_scale[None, :]
             ).reshape(-1)
 
         flat = poses.reshape(-1)
@@ -96,6 +110,82 @@ def optimize_pose_graph(
 
     poses, costs = jax.lax.scan(gn_step, g.poses, None, length=iters)
     return poses, costs
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def optimize_pose_graph_switchable(
+    g: PoseGraph,
+    switch_mask: jnp.ndarray,      # (E,) bool: edge carries a switch var
+    iters: int = 15,
+    damping: float = 1e-6,
+    switch_prior: float = 10.0,    # lambda: cost of turning a closure OFF
+    rot_weight: float = 1.0,       # see optimize_pose_graph — without it a
+                                   # false closure folds the graph through
+                                   # CHEAP rotation residuals and its
+                                   # switch never collapses
+):
+    """Gauss-Newton with switchable constraints (Sünderhauf & Protzel,
+    "Switchable Constraints for Robust Pose Graph SLAM", IROS 2012): each
+    switched edge's residual is scaled by a variable s in [0,1] optimized
+    JOINTLY with the poses, plus a prior residual sqrt(lambda)(1 - s).
+
+    Why not residual gating or IRLS: a loop closure's residual at the
+    initial (drifted) estimate IS the drift it removes — gating kills the
+    cure, and one-shot IRLS converges to whatever basin the first solve
+    lands in (a false closure that got satisfied then shows a SMALL
+    residual and survives reweighting; measured in
+    tests/test_global_refine.py). With switches the optimizer itself
+    prices every closure: satisfying a TRUE closure redistributes the
+    drift over the whole odometry chain (cheap, quadratic in drift/N), so
+    its switch stays at 1; a FALSE closure can only be satisfied by
+    deforming a short subchain (cost >> lambda), so its switch collapses
+    to 0 and the edge pays the bounded prior instead.
+
+    Returns (poses (F,6), switches (E,) — 1.0 for unswitched edges,
+    per-iteration cost (iters,)).
+    """
+    F = g.poses.shape[0]
+    E = g.edge_i.shape[0]
+    free = jnp.repeat(
+        jnp.concatenate([jnp.zeros(1), jnp.ones(F - 1)]), 6)  # node 0 fixed
+    sw = switch_mask.astype(g.poses.dtype)
+    sqrt_lam = jnp.sqrt(jnp.asarray(switch_prior, g.poses.dtype))
+    n_vars = 6 * F + E
+    free_all = jnp.concatenate([free, jnp.ones(E)])  # switches always free
+    r_scale = jnp.concatenate([
+        jnp.full(3, rot_weight, g.poses.dtype),
+        jnp.ones(3, g.poses.dtype)])
+
+    def r_of(flat):
+        poses = flat[: 6 * F].reshape(F, 6)
+        s = flat[6 * F:]
+        scale = jnp.where(switch_mask, jnp.clip(s, 0.0, 1.0), 1.0)
+        r_edges = (
+            edge_residuals(poses, g)
+            * jnp.sqrt(jnp.maximum(g.weight, 0.0))[:, None]
+            * scale[:, None]
+            * r_scale[None, :]
+        ).reshape(-1)
+        r_prior = sqrt_lam * sw * (1.0 - s)
+        return jnp.concatenate([r_edges, r_prior])
+
+    def gn_step(flat, _):
+        r = r_of(flat)
+        J = jax.jacfwd(r_of)(flat)
+        J = J * free_all[None, :]
+        H = J.T @ J + damping * jnp.eye(n_vars, dtype=flat.dtype)
+        delta = -jnp.linalg.solve(H, J.T @ r) * free_all
+        flat = flat + delta
+        # keep switches in [0,1] (the residual clips too, but clamping the
+        # state keeps the linearization honest)
+        flat = flat.at[6 * F:].set(jnp.clip(flat[6 * F:], 0.0, 1.0))
+        return flat, jnp.sum(r * r)
+
+    flat0 = jnp.concatenate([g.poses.reshape(-1), jnp.ones(E, g.poses.dtype)])
+    flat, costs = jax.lax.scan(gn_step, flat0, None, length=iters)
+    poses = flat[: 6 * F].reshape(F, 6)
+    switches = jnp.where(switch_mask, jnp.clip(flat[6 * F:], 0.0, 1.0), 1.0)
+    return poses, switches, costs
 
 
 def make_sequential_edges(rel_poses: jnp.ndarray) -> PoseGraph:
