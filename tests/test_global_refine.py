@@ -212,3 +212,51 @@ class TestGlobalBundleAdjust:
         got_a, got_b = out[(1, 3)]
         np.testing.assert_array_equal(np.sort(got_a), np.sort(ia))
         np.testing.assert_array_equal(np.sort(got_b), np.sort(ib))
+
+
+class TestRelayGuard:
+    """utils/relayguard.py: dispatch salting must be bit-exact on results
+    (it only perturbs content hashes), and the canary must pass on a
+    correct backend."""
+
+    def test_salted_ba_solve_bit_exact(self):
+        import jax.numpy as jnp
+
+        from tpu3drec.sfm.ba import BAProblem, ba_solve
+        from tpu3drec.utils.relayguard import dispatch_salt
+
+        rng = np.random.default_rng(3)
+        F, L, O = 4, 32, 128
+        K = jnp.asarray([[100.0, 0, 64], [0, 100.0, 48], [0, 0, 1]],
+                        jnp.float32)
+        prob = BAProblem(
+            cam_params=jnp.asarray(
+                rng.normal(0, 0.05, (F, 6)).astype(np.float32)),
+            points=jnp.asarray(
+                rng.uniform([-2, -2, 5], [2, 2, 15], (L, 3)).astype(
+                    np.float32)),
+            cam_idx=jnp.asarray((np.arange(O) % F).astype(np.int32)),
+            pt_idx=jnp.asarray((np.arange(O) % L).astype(np.int32)),
+            uv=jnp.asarray(rng.uniform(0, 96, (O, 2)).astype(np.float32)),
+            weight=jnp.ones(O, jnp.float32), K=K)
+        a = ba_solve(prob, max_lm_iters=3, cg_iters=5)
+        b = ba_solve(prob, max_lm_iters=3, cg_iters=5, salt=dispatch_salt())
+        c = ba_solve(prob, max_lm_iters=3, cg_iters=5, salt=dispatch_salt())
+        np.testing.assert_array_equal(np.asarray(a.cam_params),
+                                      np.asarray(b.cam_params))
+        np.testing.assert_array_equal(np.asarray(b.cam_params),
+                                      np.asarray(c.cam_params))
+
+    def test_canary_clean_on_cpu(self):
+        from tpu3drec.utils.relayguard import memoization_canary
+
+        assert memoization_canary() is False
+
+    def test_salts_distinct_in_bf16(self):
+        import jax.numpy as jnp
+
+        from tpu3drec.utils.relayguard import dispatch_salt
+
+        vals = [float(jnp.asarray(dispatch_salt(), jnp.bfloat16))
+                for _ in range(64)]
+        assert len(set(vals)) == 64

@@ -51,7 +51,7 @@ SEQ_LAYOUTS = {
     # s00 run — the regression pins the long-sequence GLUE (stitching,
     # relocalization, pose graph, global BA: where rounds 3 and 4 broke
     # silently), not front-end robustness to sparse sampling
-    "m00": (11, 14, (16.0, 16.0), 0.8),
+    "m00": (11, 30, (16.0, 16.0), 0.8),
 }
 
 
@@ -104,24 +104,32 @@ def city_block_trajectory(n_frames: int, ext_x: float, ext_z: float,
     return poses
 
 
-def build_scene(seed: int, n_boxes: int, ext):
+def build_scene(seed: int, n_boxes: int, ext, corner_frac: float = 0.35):
     """Urban canyon around the block: textured ground + buildings lining
     BOTH sides of the street ring (an ~8 m corridor stays clear for the
-    camera), so every straight and corner sees occluding structure."""
+    camera), so every straight and corner sees occluding structure.
+
+    The clear corridor follows the actual ROUNDED-rectangle drive path
+    (same ``corner_frac`` as `city_block_trajectory`): the old rectangle
+    approximation left wide-radius corner paths (m00) staring into empty
+    space — corner frames saw geometry in <10% of pixels and windows
+    starved."""
     from tpu3drec.data.capture_sim import PlanarScene
 
     rng = np.random.default_rng(seed)
     ex, ez = ext
-    E = max(ex, ez) * 1.5
+    E = max(ex, ez) * 2.0
     mk = PlanarScene._make_quad
     quads = [mk(rng, [-E, 0.0, -E], [2 * E, 0, 0], [0, 0, 2 * E], n_tex=10)]
+    r = min(ex, ez) * corner_frac
 
     def ring_dist(px, pz):
-        # unsigned distance to the rectangle perimeter (street centerline)
-        qx, qz = abs(px) - ex, abs(pz) - ez
+        # unsigned distance to the rounded-rectangle street centerline
+        # (SDF of the round rect = SDF of the shrunk rect minus r)
+        qx, qz = abs(px) - (ex - r), abs(pz) - (ez - r)
         outside = np.hypot(max(qx, 0.0), max(qz, 0.0))
         inside = min(max(qx, qz), 0.0)
-        return abs(outside + inside)
+        return abs(outside + inside - r)
 
     placed = 0
     guard = 0
@@ -159,15 +167,16 @@ def render_sequence(name: str, n_frames: int, noise: bool = True,
     corner_frac = layout[3] if len(layout) > 3 else 0.35
     cache = None
     if cache_dir:
-        # "ate2": the trajectory generator wraps by the true perimeter
-        # since round 5 — pre-round-5 caches sample a different path
+        # "ate3": round 5 changed the trajectory generator (true-perimeter
+        # wrap) and the scene corridor (rounded-rect ring) — older caches
+        # sample a different path/scene
         cache = os.path.join(
             cache_dir,
-            f"ate2_{name}_{n_frames}_{int(noise)}_{int(degrade)}.npz")
+            f"ate3_{name}_{n_frames}_{int(noise)}_{int(degrade)}.npz")
         if os.path.exists(cache):
             z = np.load(cache)
             return z["images"], z["depths"], z["gt_T"]
-    scene = build_scene(seed, n_boxes, ext)
+    scene = build_scene(seed, n_boxes, ext, corner_frac=corner_frac)
     cam = CameraConfig(fx=FX, fy=FY, cx=CX, cy=CY, width=WIDTH, height=HEIGHT)
     poses = city_block_trajectory(n_frames, *ext, corner_frac=corner_frac)
     rng = np.random.default_rng(seed + 1)
@@ -292,6 +301,16 @@ def main():
     import jax as _jax
 
     is_writer = _jax.process_index() == 0
+    if is_writer:
+        # startup health line (VERDICT r4 stretch 9): platform + whether
+        # the backend memoizes bf16-close dispatches. The SfM host loop is
+        # salted against memoization (utils/relayguard.py), but the flag
+        # belongs in every artifact so wedge-vs-healthy is visible.
+        from tpu3drec.utils.relayguard import memoization_canary
+
+        plat = _jax.devices()[0].platform
+        print(f"[ate] platform={plat} "
+              f"memoizing_backend={memoization_canary()}", flush=True)
     for name in args.seqs:
         if is_writer:
             print(f"[ate] running {name} ({args.frames} frames)...",

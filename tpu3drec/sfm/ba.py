@@ -141,6 +141,7 @@ def ba_solve(
     init_lambda: float = 1e-3,
     fix_cam_mask: jnp.ndarray | None = None,
     use_pallas_blocks: bool = False,
+    salt: jnp.ndarray | None = None,
 ) -> BAResult:
     """Run LM. `fix_cam_mask` (F,) 1.0 = free, 0.0 = frozen (default:
     camera 0 frozen for gauge).
@@ -148,9 +149,17 @@ def ba_solve(
     ``use_pallas_blocks=True`` swaps the jacfwd Jacobians for the fused
     Pallas assembly kernel (`ops/ba_blocks.py`, closed-form local-se(3)
     parameterization); the LM update is then applied on the manifold
-    (R <- exp(w) R). Depth-prior rows are not supported on this path."""
+    (R <- exp(w) R). Depth-prior rows are not supported on this path.
+
+    ``salt`` (utils/relayguard.dispatch_salt): dead operand folded into
+    the camera parameters so successive host-loop solves with bf16-close
+    inputs hash as distinct dispatches on the memoizing relay runtime
+    (docs/design.md §6). Bit-exact no-op on the result:
+    x * (1 + 0*salt) == x."""
     if use_pallas_blocks and p.depth is not None:
         raise ValueError("use_pallas_blocks does not support depth priors")
+    if salt is not None:
+        p = p._replace(cam_params=p.cam_params * (1.0 + 0.0 * salt))
     F = p.cam_params.shape[0]
     L = p.points.shape[0]
     if fix_cam_mask is None:

@@ -300,8 +300,10 @@ def global_bundle_adjust(
             depth=depth,
             depth_weight=depth_weight,
         )
+        from tpu3drec.utils.relayguard import dispatch_salt
+
         res = ba_solve(prob, max_lm_iters=15, cg_iters=30,
-                       fix_cam_mask=jnp.asarray(mask))
+                       fix_cam_mask=jnp.asarray(mask), salt=dispatch_salt())
         new_cams = np.asarray(res.cam_params)
         new_pts = np.asarray(res.points)
         if not (np.isfinite(new_cams[:F]).all()

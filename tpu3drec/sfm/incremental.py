@@ -418,16 +418,26 @@ def run_sfm(
         Xp[:n] = np.asarray(X3d)
         up[:n] = np.asarray(X2d)
         vm[:n] = True
+        # fold the per-frame ATTEMPT index into the key: the BA-retry path
+        # re-dispatches this frame's PnP with bf16-close (BA-polished)
+        # inputs, and without a distinct input the memoizing relay replays
+        # the pre-BA rejection (utils/relayguard.py). A deterministic
+        # counter (not a global one) keeps run_sfm bit-reproducible across
+        # runs and across parallel_windows scheduling.
+        attempt = pnp_attempts.get(f, 0)
+        pnp_attempts[f] = attempt + 1
         res = pnp_ransac(
             jnp.asarray(Xp), jnp.asarray(up), jnp.asarray(vm),
-            jnp.asarray(rec.K), rngs[f],
+            jnp.asarray(rec.K), jax.random.fold_in(rngs[f], attempt),
         )
         n_inl = int(res.n_inliers)
         if n_inl >= max(8, int(0.3 * n)):
             return res, n_inl, False
         res2 = pnp_ransac(
             jnp.asarray(Xp), jnp.asarray(up), jnp.asarray(vm),
-            jnp.asarray(rec.K), rngs[F + 2 + (f % 6)], inlier_px=6.0,
+            jnp.asarray(rec.K),
+            jax.random.fold_in(rngs[F + 2 + (f % 6)], attempt),
+            inlier_px=6.0,
         )
         n2 = int(res2.n_inliers)
         if n2 >= max(12, int(0.6 * n)):
@@ -438,6 +448,7 @@ def run_sfm(
         return None, n_inl, False
 
     ba_retry_done: set = set()
+    pnp_attempts: dict = {}
     for _pass in range(2):
         for f in range(F):
             if f in rec.poses:
@@ -677,8 +688,12 @@ def _run_ba(rec: Reconstruction, tracks, xy, depth_maps=None, depth_weight=2.0):
         anchor = rec.scale_anchor if rec.scale_anchor in fidx else frames[min(1, len(frames) - 1)]
         t_anchor = cam_params[fidx[anchor], 3:]
         mask[fidx[anchor], 3 + int(np.argmax(np.abs(t_anchor)))] = 0.0
+    from tpu3drec.utils.relayguard import dispatch_salt
+
+    # salt: successive _run_ba calls differ by sub-bf16 refinements, and
+    # the memoizing relay would replay the previous solve (relayguard.py)
     res = ba_solve(prob, max_lm_iters=10, cg_iters=15,
-                   fix_cam_mask=jnp.asarray(mask))
+                   fix_cam_mask=jnp.asarray(mask), salt=dispatch_salt())
     new_cams = np.asarray(res.cam_params)
     new_pts = np.asarray(res.points)
     for i, f in enumerate(frames):
