@@ -138,11 +138,16 @@ def build_scene(seed: int, n_boxes: int, ext, corner_frac: float = 0.35):
         px = rng.uniform(-1.35 * ex, 1.35 * ex)
         pz = rng.uniform(-1.35 * ez, 1.35 * ez)
         d = ring_dist(px, pz)
-        if not (6.0 < d < 26.0):
-            continue
         w = rng.uniform(4.0, 12.0)
         h = rng.uniform(4.0, 16.0)
         dd = rng.uniform(4.0, 12.0)
+        # clearance is measured to the building's closest EDGE, not its
+        # center: a 12 m-wide box centered 6 m off the path otherwise puts
+        # its wall ON the drive line (measured on m00: frames grazing a
+        # wall at 0.5-1 m median depth — unmatchable apparent motion, and
+        # the track break cascaded into a 43-frame coverage hole)
+        if not (4.0 + max(w, dd) / 2 < d < 26.0):
+            continue
         x0, x1 = px - w / 2, px + w / 2
         y0, y1 = -h, 0.0
         z0, z1 = pz - dd / 2, pz + dd / 2
@@ -167,12 +172,13 @@ def render_sequence(name: str, n_frames: int, noise: bool = True,
     corner_frac = layout[3] if len(layout) > 3 else 0.35
     cache = None
     if cache_dir:
-        # "ate3": round 5 changed the trajectory generator (true-perimeter
-        # wrap) and the scene corridor (rounded-rect ring) — older caches
-        # sample a different path/scene
+        # "ate4": round 5 changed the trajectory generator (true-perimeter
+        # wrap), the scene corridor (rounded-rect ring), and building
+        # clearance (edge distance, not center) — older caches sample a
+        # different path/scene
         cache = os.path.join(
             cache_dir,
-            f"ate3_{name}_{n_frames}_{int(noise)}_{int(degrade)}.npz")
+            f"ate4_{name}_{n_frames}_{int(noise)}_{int(degrade)}.npz")
         if os.path.exists(cache):
             z = np.load(cache)
             return z["images"], z["depths"], z["gt_T"]

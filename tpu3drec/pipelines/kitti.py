@@ -324,6 +324,16 @@ def run_windowed_sfm(
             if T is not None:
                 global_T[f] = T
         unlock_shared()
+        # bridge odometry gaps: a single track break inside one window
+        # leaves every LATER window fully reconstructed but pending (the
+        # stitch chain is broken and mid-loop frames have no revisits for
+        # relocalization — measured on m00: a 2-frame break cascaded into
+        # a 43-frame hole). Directly match across the small frame gap
+        # between the anchored trajectory and each pending window,
+        # metricize the baseline from depth priors, attach rigidly.
+        while _bridge_pending(global_T, pending, (kps_all, descs_all), K,
+                              depth_maps, cfg, window_edges):
+            unlock_shared()
         Ts = [global_T.get(f) for f in range(F)]
         window_edges += closure_edges
     if cfg.pose_graph:
@@ -490,6 +500,109 @@ def _relocalize(Ts, closures, cfg, K=None, depth_maps=None):
     for c in closures:          # pass 2: whatever remains
         place(c, allow_reuse=True)
     return out
+
+
+def _bridge_pending(global_T, pending, features, K, depth_maps, cfg,
+                    window_edges, max_gap: int = 4,
+                    min_inliers: int = 20) -> bool:
+    """Anchor pending windows across small odometry gaps.
+
+    A pending window is fully reconstructed but shares <2 frames with the
+    anchored trajectory (its predecessor broke mid-window). Its boundary
+    frames are only a few frames away from anchored ones — directly
+    match such (anchored g, pending s) pairs, verify with two-view
+    RANSAC, recover the metric baseline from depth priors
+    (closure_metric_magnitude), place s, and attach the whole window
+    RIGIDLY (depth-prior windows are metric, so the stitch scale is 1 by
+    construction). The bridge pair also becomes a pose-graph edge
+    (closure class: its error model is two-view, not odometry).
+
+    Returns True if any window was attached (caller re-runs the pending
+    re-stitch loop — each attachment may unlock the next window by
+    normal shared-frame stitching). Monocular runs (no depth) skip
+    bridging: a single pair cannot metricize the attachment scale.
+    """
+    if depth_maps is None or not pending:
+        return False
+    import types
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpu3drec.sfm.matching import match_pairs
+    from tpu3drec.sfm.twoview import estimate_relative_pose
+
+    kps, descs = features
+    xy = np.asarray(kps.xy)
+    descs_d = jnp.asarray(descs)
+    valid_d = jnp.asarray(kps.valid)
+    bridged = False
+    for local in list(pending):
+        anchored = {f for f, T in global_T.items() if np.isfinite(T).all()}
+        cands = sorted(
+            (abs(g - s), g, s)
+            for s in local
+            for g in range(s - max_gap, s + max_gap + 1)
+            if g in anchored and g not in local)
+        placed = None
+        for rank, (_, g, s) in enumerate(cands[:6]):
+            m = match_pairs(descs_d, valid_d,
+                            jnp.asarray([[g, s]], jnp.int32))
+            sel = np.asarray(m.valid[0])
+            if sel.sum() < min_inliers:
+                continue
+            uv1 = np.zeros((xy.shape[1], 2), np.float32)
+            uv2 = np.zeros((xy.shape[1], 2), np.float32)
+            vmask = np.zeros(xy.shape[1], bool)
+            n = int(sel.sum())
+            uv1[:n] = xy[g, np.asarray(m.idx_a[0])[sel]]
+            uv2[:n] = xy[s, np.asarray(m.idx_b[0])[sel]]
+            vmask[:n] = True
+            tv = estimate_relative_pose(
+                jnp.asarray(uv1), jnp.asarray(uv2), jnp.asarray(vmask),
+                jnp.asarray(K, jnp.float32),
+                jax.random.PRNGKey(cfg.seed + 7919 * g + s))
+            if int(tv.n_inliers) < min_inliers:
+                continue
+            inl = np.asarray(tv.inliers)[:n]
+            c = types.SimpleNamespace(
+                i=g, j=s, R_rel=np.asarray(tv.R), t_dir=np.asarray(tv.t),
+                uv_i=uv1[:n][inl], uv_j=uv2[:n][inl],
+                n_inliers=int(tv.n_inliers))
+            mag = closure_metric_magnitude(c, K, depth_maps)
+            if mag is None:
+                continue
+            Rba = c.R_rel.T
+            tba = -Rba @ (c.t_dir * mag)
+            T_rel = np.eye(4)
+            T_rel[:3, :3] = Rba
+            T_rel[:3, 3] = tba
+            T_s = global_T[g] @ T_rel
+            placed = (g, s, T_rel, T_s)
+            break
+        if placed is None:
+            continue
+        g, s, T_rel, T_s = placed
+        S = T_s @ np.linalg.inv(local[s])
+        if not np.isfinite(S).all():
+            continue
+        for f, T in local.items():
+            if f not in global_T:
+                Tg = S @ T
+                U, _, Vt = np.linalg.svd(Tg[:3, :3])
+                Tg[:3, :3] = U @ Vt
+                global_T[f] = Tg
+        loc_frames = sorted(local)
+        for f1, f2 in zip(loc_frames[:-1], loc_frames[1:]):
+            window_edges.append(
+                (f1, f2, np.linalg.inv(local[f1]) @ local[f2], 1.0))
+        window_edges.append((g, s, T_rel, 1.0, "closure"))
+        pending.remove(local)
+        bridged = True
+        if cfg.verbose:
+            print(f"[kitti] bridged gap {g}->{s}: window "
+                  f"{min(local)}..{max(local)} attached (|t|={mag:.2f})")
+    return bridged
 
 
 def _closure_edges(features, K, Ts, cfg, depth_maps=None):
