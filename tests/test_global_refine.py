@@ -260,3 +260,51 @@ class TestRelayGuard:
         vals = [float(jnp.asarray(dispatch_salt(), jnp.bfloat16))
                 for _ in range(64)]
         assert len(set(vals)) == 64
+
+
+class TestPoseGraphConnectivity:
+    """Hard-gating must never disconnect the graph: a free node with no
+    live edges is constrained only by the 1e-6 damping and flies off to
+    ~1e13 in one GN step (measured on the m00 mid-scale loop: 17 gated
+    overlap edges cut 16 frames loose)."""
+
+    def test_chain_with_one_corrupt_edge_stays_finite(self):
+        """A pure chain's corrupt edge is the ONLY connector: it must be
+        restored (trusting it equals trusting the stitch that built the
+        initial guess) and the tail must stay near its initial poses
+        instead of exploding."""
+        gt = _circle_gt(30)
+        edges, Ts = _drifted_edges(gt, yaw_bias=0.001)
+        # corrupt edge 14->15 grossly (mis-registered boundary frame)
+        f1, f2, T_rel, w = edges[14]
+        bad = T_rel.copy()
+        bad[:3, 3] += np.array([30.0, 0.0, 0.0])
+        edges[14] = (f1, f2, bad, w)
+        out = _refine_with_pose_graph(list(Ts), edges)
+        pos = np.stack([T[:3, 3] for T in out])
+        in_pos = np.stack([T[:3, 3] for T in Ts])
+        # nothing runs away: every pose within ~2 trajectory spans of
+        # where stitching put it (the corrupt edge shifts the tail, but
+        # boundedly — it is satisfied nearly exactly, like the stitch)
+        span = np.ptp(in_pos, axis=0).max()
+        assert np.linalg.norm(pos - in_pos, axis=1).max() < 2.0 * span
+
+    def test_redundant_corrupt_edge_still_gated(self):
+        """With overlap redundancy (edges i->i+2), the corrupt edge is
+        NOT needed for connectivity and must stay gated (the round-2
+        regression: one 27.9-norm edge deformed the whole graph)."""
+        gt = _circle_gt(30)
+        edges, Ts = _drifted_edges(gt, yaw_bias=0.001)
+        for i in range(len(gt) - 2):  # add skip-2 redundancy
+            T_rel = np.linalg.inv(gt[i]) @ gt[i + 2]
+            edges.append((i, i + 2, T_rel, 1.0))
+        f1, f2, T_rel, w = edges[14]
+        bad = T_rel.copy()
+        bad[:3, 3] += np.array([30.0, 0.0, 0.0])
+        edges[14] = (f1, f2, bad, w)
+        out = _refine_with_pose_graph(list(Ts), edges)
+        pos = np.stack([T[:3, 3] for T in out])
+        err = np.linalg.norm(
+            pos - np.stack([T[:3, 3] for T in gt]), axis=1).max()
+        # redundancy + gating: the corrupt 30 m offset must NOT appear
+        assert err < 3.0, err

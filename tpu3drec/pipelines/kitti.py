@@ -721,16 +721,76 @@ def _refine_with_pose_graph(Ts, window_edges, verbose: bool = False):
     r0 = np.linalg.norm(np.asarray(edge_residuals(g.poses, g)), axis=1)
     odo = ~is_closure
     if odo.any():
-        gate = max(10.0 * np.median(r0[odo]), 0.05)
+        # gate floor scales with the odometry step: overlapping windows'
+        # duplicate edges agree to ~1e-4, so 10x their residual median is
+        # meaninglessly tight — an absolute 0.05 m floor gated 17
+        # LEGITIMATE overlap edges on the m00 loop and the optimizer
+        # dumped the whole loop correction into the freed junctions
+        # (64 m jumps). A real mis-registration is off by a sizable
+        # fraction of the inter-frame step; smaller disagreements are
+        # information, not outliers.
+        step = np.median([np.linalg.norm(rel[k][3:])
+                          for k in range(len(rel)) if odo[k]])
+        gate = max(10.0 * np.median(r0[odo]), 0.5 * step, 0.05)
         w_robust = np.where(odo & (r0 >= gate), 0.0, 1.0).astype(np.float32)
     else:
         w_robust = np.ones(len(r0), np.float32)
     if w_robust.sum() < 2:
         return Ts
+
+    # CONNECTIVITY REPAIR: hard-gating must never disconnect the graph.
+    # A free node whose every edge is zero-weighted is constrained only
+    # by the 1e-6 damping and flies off to ~1e13 in one GN step (measured
+    # on m00: 17 gated overlap edges cut frames 18-33 loose; the
+    # scale-aligned ATE then collapses the whole trajectory to a point
+    # and reads as a uniform ~16 m error). Restore gated edges in
+    # ascending-residual order wherever they reconnect components
+    # (spanning-tree repair); freeze any node still unreachable from the
+    # gauge so it keeps its stitched pose instead of exploding.
+    nF = len(present)
+    parent = list(range(nF))
+
+    def _find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def _union(a, b):
+        ra, rb = _find(a), _find(b)
+        if ra != rb:
+            parent[rb] = ra
+
+    # ODOMETRY-ONLY union: closures are hypotheses (their switches may
+    # collapse), not structural links. Counting them here left a gated
+    # junction "connected" the long way around the loop, and the
+    # optimizer then hinged the whole trajectory at that junction.
+    for k in range(len(ei)):
+        if w_robust[k] > 0 and not is_closure[k]:
+            _union(ei[k], ej[k])
+    n_restored = 0
+    for k in np.argsort(r0):
+        if is_closure[k]:
+            continue
+        if w_robust[k] == 0 and _find(ei[k]) != _find(ej[k]):
+            w_robust[k] = 1.0
+            _union(ei[k], ej[k])
+            n_restored += 1
+    root0 = _find(0)
+    node_free = np.array(
+        [1.0 if (_find(i) == root0 and i != 0) else 0.0
+         for i in range(nF)], np.float32)
     if verbose:
         print(f"[kitti] pose graph: {int(odo.sum())} odometry + "
               f"{int(is_closure.sum())} closure edges, "
-              f"{int((w_robust == 0).sum())} odometry edges gated")
+              f"{int((w_robust == 0).sum())} gated "
+              f"({n_restored} restored for connectivity, "
+              f"{int((node_free == 0).sum()) - 1} nodes frozen)")
+        worst = np.argsort(r0)[::-1][:10]
+        for k in worst:
+            print(f"[kitti]   edge {present[ei[k]]}->{present[ej[k]]} "
+                  f"r0={r0[k]:.3f} w={w_robust[k]:.0f} "
+                  f"{'closure' if is_closure[k] else 'odo'}")
 
     g = g._replace(weight=jnp.asarray(w_robust))
     if is_closure.any():
@@ -741,17 +801,31 @@ def _refine_with_pose_graph(Ts, window_edges, verbose: bool = False):
         from tpu3drec.sfm.posegraph import optimize_pose_graph_switchable
 
         poses_cur, switches, _ = optimize_pose_graph_switchable(
-            g, jnp.asarray(is_closure), iters=15, rot_weight=10.0)
+            g, jnp.asarray(is_closure), iters=15, rot_weight=10.0,
+            fix_node_mask=jnp.asarray(node_free))
         if verbose:
             sw = np.asarray(switches)[is_closure]
             print(f"[kitti] pose graph switches: "
                   f"{int((sw > 0.5).sum())}/{len(sw)} closures kept "
                   f"(min {sw.min():.2f})")
     else:
-        poses_cur, _ = optimize_pose_graph(g, iters=10, rot_weight=10.0)
+        poses_cur, _ = optimize_pose_graph(
+            g, iters=10, rot_weight=10.0,
+            fix_node_mask=jnp.asarray(node_free))
     opt = np.asarray(poses_cur)
     if not np.isfinite(opt).all():
         return Ts  # a diverged solve must not poison the trajectory
+    # post-solve sanity: a pose that moved further than the whole
+    # trajectory span did not converge — keep its input (a kink the
+    # global BA can still repair beats a runaway coordinate)
+    span = float(np.ptp(poses6[:, 3:], axis=0).max()) + 1.0
+    moved = np.linalg.norm(opt[:, 3:] - poses6[:, 3:], axis=1)
+    runaway = moved > 10.0 * span
+    if runaway.any():
+        if verbose:
+            print(f"[kitti] pose graph: {int(runaway.sum())} runaway "
+                  "poses reverted to stitched values")
+        opt[runaway] = poses6[runaway]
 
     from tpu3drec.core.se3 import axis_angle_to_matrix
 

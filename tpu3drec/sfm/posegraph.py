@@ -123,6 +123,11 @@ def optimize_pose_graph_switchable(
                                    # false closure folds the graph through
                                    # CHEAP rotation residuals and its
                                    # switch never collapses
+    fix_node_mask: jnp.ndarray | None = None,  # (F,) 1 = free, 0 = frozen
+                                   # (default: node 0 frozen). Callers
+                                   # freeze nodes the edge set cannot
+                                   # reach — a free node with no live
+                                   # edges floats off to ~1/damping
 ):
     """Gauss-Newton with switchable constraints (Sünderhauf & Protzel,
     "Switchable Constraints for Robust Pose Graph SLAM", IROS 2012): each
@@ -146,8 +151,9 @@ def optimize_pose_graph_switchable(
     """
     F = g.poses.shape[0]
     E = g.edge_i.shape[0]
-    free = jnp.repeat(
-        jnp.concatenate([jnp.zeros(1), jnp.ones(F - 1)]), 6)  # node 0 fixed
+    if fix_node_mask is None:
+        fix_node_mask = jnp.concatenate([jnp.zeros(1), jnp.ones(F - 1)])
+    free = jnp.repeat(fix_node_mask.astype(g.poses.dtype), 6)
     sw = switch_mask.astype(g.poses.dtype)
     sqrt_lam = jnp.sqrt(jnp.asarray(switch_prior, g.poses.dtype))
     n_vars = 6 * F + E
