@@ -101,9 +101,17 @@ def axis_angle_to_matrix(axisangle: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarr
 
 
 def matrix_to_axis_angle(R: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
-    """Rotation matrix -> axis-angle (..., 3), theta in [0, pi]."""
+    """Rotation matrix -> axis-angle (..., 3), theta in [0, pi].
+
+    Differentiation-safe: `arccos` is evaluated strictly inside (-1, 1)
+    (its derivative at +-1 is infinite, and jacfwd through a pose-graph
+    residual with a near-pi rotation error otherwise produces NaN —
+    measured on the 500-frame loop, where closure errors reach 175 deg).
+    The derivative near pi is still large (the log map is genuinely
+    singular there); callers handling near-pi errors should reduce them
+    first (pipelines/kitti.py::_distribute_closure_error)."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0 + 1e-7, 1.0 - 1e-7)
     theta = jnp.arccos(cos_theta)
     # Off-diagonal antisymmetric part gives axis * 2 sin(theta).
     w = jnp.stack(

@@ -16,7 +16,6 @@ from dataclasses import dataclass
 import jax
 import numpy as np
 
-from tpu3drec.sfm.icp import umeyama
 from tpu3drec.sfm.incremental import run_sfm
 from tpu3drec.sfm.posegraph import PoseGraph, optimize_pose_graph
 from tpu3drec.utils.trajectory_eval import ate, rpe, trajectory_length
@@ -68,29 +67,44 @@ def _poses_to_T(rec, frames):
 
 
 def _similarity_from_pose_pairs(src_Ts, dst_Ts):
-    """Similarity (s, R, t) aligning src camera centers onto dst, rotation
-    averaged from the per-frame rotation deltas."""
-    import jax.numpy as jnp
+    """Similarity (s, R, t) aligning src poses onto dst.
 
+    The ROTATION comes from the chordal mean of the per-frame rotation
+    deltas (dst_R src_R^T), never from camera centers: center-based
+    umeyama leaves the roll about the path direction unobservable when
+    the shared centers are (near-)collinear — which is every straight
+    stretch of a driving sequence. Measured on the 500-frame s00 run:
+    every stitch seam (frame 4 mod 7) carried a relative-rotation error
+    up to 170 deg from exactly this degeneracy, and those ~70 broken
+    seams WERE the "drift". Scale is the center-spread least-squares fit
+    (unit when fewer than 2 distinct centers — metric depth-prior
+    windows stitch at 1 anyway); translation aligns the centroids."""
     src_c = np.stack([T[:3, 3] for T in src_Ts])
     dst_c = np.stack([T[:3, 3] for T in dst_Ts])
-    if len(src_Ts) >= 3:
-        s, R, t = umeyama(jnp.asarray(src_c, dtype=jnp.float32),
-                          jnp.asarray(dst_c, dtype=jnp.float32),
-                          jnp.ones(len(src_Ts), dtype=jnp.float32))
-        return float(s), np.asarray(R, np.float64), np.asarray(t, np.float64)
-    # 2 overlap frames: rotation from relative orientations, scale from the
-    # center distance ratio. Degenerate when either pair of centers
-    # (nearly) coincides — the ratio is then 0/eps or eps/0 and the
-    # stitched window collapses or explodes; signal failure instead
-    # (the caller keeps the window pending).
-    R = dst_Ts[0][:3, :3] @ src_Ts[0][:3, :3].T
-    d_src = np.linalg.norm(src_c[-1] - src_c[0])
-    d_dst = np.linalg.norm(dst_c[-1] - dst_c[0])
-    if d_src < 1e-6 or d_dst < 1e-6:
+    # chordal rotation averaging: R = argmax tr(R^T A), A = sum(dst src^T)
+    A = np.zeros((3, 3))
+    for s_T, d_T in zip(src_Ts, dst_Ts):
+        A += d_T[:3, :3] @ s_T[:3, :3].T
+    U, _, Vt = np.linalg.svd(A)
+    R = U @ np.diag([1.0, 1.0, np.linalg.det(U @ Vt)]) @ Vt
+    sb = src_c.mean(axis=0)
+    db = dst_c.mean(axis=0)
+    src_d = src_c - sb
+    dst_d = dst_c - db
+    src_spread = float(np.sum(src_d * src_d))
+    dst_spread = float(np.sum(dst_d * dst_d))
+    if (src_spread > 1e-10) != (dst_spread > 1e-10):
+        # one side moved, the other claims stationary: inconsistent
+        # anchor data — refuse (caller keeps the window pending)
         return None
-    s = d_dst / max(d_src, 1e-12)
-    t = dst_c[0] - s * R @ src_c[0]
+    if src_spread > 1e-10:
+        # least-squares scale given R: sum<dst_d, R src_d> / sum|src_d|^2
+        s = float(np.sum(dst_d * (src_d @ R.T)) / src_spread)
+        if s <= 1e-6:
+            return None  # pathological anti-aligned fit
+    else:
+        s = 1.0  # both stationary: rigid attach (metric windows)
+    t = db - s * R @ sb
     return s, R, t
 
 
@@ -177,6 +191,10 @@ def run_windowed_sfm(
                                            # run with BA depth priors ->
                                            # metric trajectory, unit stitch
                                            # scales, metric closures
+    debug_state: dict | None = None,  # pass a dict to receive the
+                                      # intermediate state (stitched Ts,
+                                      # window_edges, closures, features)
+                                      # for offline refinement iteration
 ):
     """Reconstruct a long sequence window-by-window, stitched into one
     trajectory. Returns (Ts (F, 4, 4) cam->world | None per missing frame,
@@ -336,16 +354,68 @@ def run_windowed_sfm(
             unlock_shared()
         Ts = [global_T.get(f) for f in range(F)]
         window_edges += closure_edges
+    if debug_state is not None:
+        debug_state.update(
+            stitched_Ts=[None if T is None else T.copy() for T in Ts],
+            window_edges=list(window_edges),
+            closures=closures if cfg.loop_closure else [],
+            features=(kps_all, descs_all))
     if cfg.pose_graph:
         Ts = _refine_with_pose_graph(Ts, window_edges, verbose=cfg.verbose)
     if cfg.global_ba:
         from tpu3drec.sfm.global_refine import global_bundle_adjust
 
-        Ts = global_bundle_adjust(
+        ba_Ts = global_bundle_adjust(
             Ts, (kps_all, descs_all), K, depth_maps=depth_maps,
             closures=closures if cfg.loop_closure else None,
             verbose=cfg.verbose)
+        # acceptance guard: global BA optimizes reprojection, which does
+        # not see trajectory shape — at long-sequence scale a truncated-CG
+        # step can cut reprojection cost while BENDING the trajectory
+        # (measured on s00/500: pose-graph ATE 0.885 m became 12.9 m and
+        # per-frame odometry consistency exploded 0.04 -> 13 m). The
+        # window odometry edges are independent measurements; a BA result
+        # that contradicts them is rejected, keeping the pose-graph
+        # trajectory.
+        before = _edge_consistency(Ts, window_edges)
+        after = _edge_consistency(ba_Ts, window_edges)
+        if after <= max(1.5 * before, before + 0.05):
+            Ts = ba_Ts
+        elif cfg.verbose:
+            print(f"[kitti] global BA rejected: odometry-edge consistency "
+                  f"{before:.3f} -> {after:.3f}")
     return Ts, recs
+
+
+def _edge_consistency(Ts, window_edges) -> float:
+    """Median robust residual of the ODOMETRY edges against a candidate
+    trajectory (rotation priced at 10x like the pose graph). The
+    acceptance metric for refinement stages — independent of ground
+    truth, cheap, and sensitive to exactly the failure mode reprojection
+    cost cannot see (local trajectory bending)."""
+    from scipy.spatial.transform import Rotation as ScipyR
+
+    res = []
+    for e in window_edges:
+        if len(e) > 4 and e[4] == "closure":
+            continue
+        f1, f2, T_rel, s_w = e[:4]
+        if (Ts[f1] is None or Ts[f2] is None
+                or not (np.isfinite(Ts[f1]).all()
+                        and np.isfinite(Ts[f2]).all()
+                        and np.isfinite(T_rel).all())):
+            continue
+        Tr = T_rel.copy()
+        Tr[:3, 3] *= s_w
+        M = np.linalg.inv(Tr) @ np.linalg.inv(Ts[f1]) @ Ts[f2]
+        rot = np.linalg.norm(ScipyR.from_matrix(M[:3, :3]).as_rotvec())
+        res.append(10.0 * rot + float(np.linalg.norm(M[:3, 3])))
+    # MEAN, not median/p90: BA damage is concentrated (a few frames off
+    # by 27-250 m among ~2 m moves — measured on s00/500). The median
+    # misses it entirely and p90 barely moves (0.022 -> 0.053), while
+    # the mean separates 130x (0.011 -> 1.42). Genuinely noisy seams are
+    # bounded (~0.2) and cannot fake a catastrophic mean.
+    return float(np.mean(res)) if res else float("inf")
 
 
 def _try_stitch(global_T: dict, local: dict, cfg) -> tuple[bool, float]:
@@ -648,6 +718,93 @@ def _closure_edges(features, K, Ts, cfg, depth_maps=None):
     return edges, closures
 
 
+def _distribute_closure_error(Ts, window_edges, verbose: bool = False):
+    """Closure-guided chain relaxation: the GN initializer for big loops.
+
+    A long stitched chain can arrive with an ENORMOUS loop-closing error
+    (measured on the 500-frame city block: the revisit frames sat 110 m
+    away and rotated 94-175 deg from their closures' prediction). From
+    that basin Gauss-Newton cannot converge — the se(3) log map is
+    singular at pi, and jacfwd through a near-pi residual is NaN. The
+    classic fix (g2o spanning-tree init / ORB-SLAM loop correction):
+    pick a closure, compute the world-frame correction D that moves the
+    current pose of its far frame onto the closure's prediction, and
+    apply D FRACTIONALLY along the chain — identity at the near frame,
+    full D at the far frame, slerp in between, rotations anchored at the
+    near frame's position so it stays fixed. After relaxation every
+    closure residual is small and the switchable pose graph + global BA
+    operate in their convergent regime.
+
+    The driving closure is chosen by consensus: each candidate's
+    relaxation is scored by the median residual it leaves over ALL
+    closure edges (a false closure relaxes the chain to a shape the
+    true-closure majority rejects). No-op when the worst closure
+    residual is already modest (small-loop / mid-scale runs)."""
+    from scipy.spatial.transform import Rotation as ScipyR
+
+    closures = [(f1, f2, T_rel) for e in window_edges
+                if len(e) > 4 and e[4] == "closure"
+                for (f1, f2, T_rel, s_w) in [e[:4]]
+                if Ts[f1] is not None and Ts[f2] is not None
+                and np.isfinite(Ts[f1]).all() and np.isfinite(Ts[f2]).all()
+                and np.isfinite(T_rel).all()]
+    if not closures:
+        return Ts
+    odo_steps = [np.linalg.norm((np.linalg.inv(Ts[f1]) @ Ts[f2])[:3, 3])
+                 for e in window_edges if len(e) <= 4 or e[4] != "closure"
+                 for (f1, f2, T_rel, s_w) in [e[:4]]
+                 if abs(f2 - f1) == 1 and Ts[f1] is not None
+                 and Ts[f2] is not None]
+    step = float(np.median(odo_steps)) if odo_steps else 1.0
+
+    def residual_of(T_i, T_j, T_rel):
+        M = np.linalg.inv(T_rel) @ np.linalg.inv(T_i) @ T_j
+        rot = np.linalg.norm(ScipyR.from_matrix(M[:3, :3]).as_rotvec())
+        return rot, float(np.linalg.norm(M[:3, 3]))
+
+    r0 = [residual_of(Ts[i], Ts[j], Tr) for i, j, Tr in closures]
+    worst_rot = max(r for r, _ in r0)
+    worst_trans = max(t for _, t in r0)
+    if worst_rot < np.radians(30.0) and worst_trans < 10.0 * step:
+        return Ts  # GN's basin — no relaxation needed
+
+    def relax(i, j, T_rel, Ts):
+        lo, hi = (i, j) if i < j else (j, i)
+        # desired pose of j given i and the measured closure
+        T_j_des = Ts[i] @ T_rel
+        D = T_j_des @ np.linalg.inv(Ts[j])        # world-frame correction
+        a = Ts[i][:3, 3]                          # anchor: frame i fixed
+        R_D = D[:3, :3]
+        u = R_D @ a + D[:3, 3] - a                # translation seen at a
+        rv = ScipyR.from_matrix(R_D).as_rotvec()
+        out = list(Ts)
+        for f in range(lo, len(Ts)):
+            if out[f] is None or not np.isfinite(out[f]).all():
+                continue
+            alpha = min(max((f - lo) / max(hi - lo, 1), 0.0), 1.0)
+            R_a = ScipyR.from_rotvec(alpha * rv).as_matrix()
+            C = np.eye(4)
+            C[:3, :3] = R_a
+            C[:3, 3] = a - R_a @ a + alpha * u
+            out[f] = C @ out[f]
+        return out
+
+    best = None
+    for k, (i, j, Tr) in enumerate(closures):
+        cand = relax(i, j, Tr, Ts)
+        med = np.median([residual_of(cand[ii], cand[jj], TT)[1]
+                         for ii, jj, TT in closures])
+        if best is None or med < best[0]:
+            best = (med, k, cand)
+    med, k, relaxed = best
+    if verbose:
+        i, j, _ = closures[k]
+        print(f"[kitti] chain relaxation via closure {i}<->{j}: worst "
+              f"closure residual {worst_trans:.1f} m/"
+              f"{np.degrees(worst_rot):.0f} deg -> median {med:.2f} m")
+    return relaxed
+
+
 def _refine_with_pose_graph(Ts, window_edges, verbose: bool = False):
     """Pose-graph refinement over the stitched trajectory: every window
     contributes relative-pose edges between its registered frames (overlap
@@ -671,6 +828,10 @@ def _refine_with_pose_graph(Ts, window_edges, verbose: bool = False):
     import jax.numpy as jnp
 
     from tpu3drec.core.se3 import matrix_to_axis_angle
+
+    # big-loop initializer: bring enormous closure errors into GN's basin
+    # first (see _distribute_closure_error)
+    Ts = _distribute_closure_error(Ts, window_edges, verbose=verbose)
 
     # non-finite poses/edges must not enter the graph: GN's dense solve
     # spreads a single NaN to EVERY pose (measured on the 500-frame city

@@ -316,9 +316,30 @@ def global_bundle_adjust(
                   f"{float(res.initial_cost):.1f} -> "
                   f"{float(res.final_cost):.1f} in {int(res.n_iters)} iters "
                   f"(F={F} L={L} O={O})")
+        # per-frame trust region: the input trajectory is already a
+        # refined estimate and BA is a polish. A camera whose center
+        # moved far beyond the fleet median did not converge — it is
+        # pinned by a handful of wrong-but-verified observations
+        # (measured on s00/500: frames 297-303 flew 27-250 m while the
+        # median move was ~2 m). Revert those frames; the surviving
+        # majority still gets the polish.
+        old_c = np.stack([
+            -poses[f][0].T @ poses[f][1] for f in reg])
+        new_R = [np.asarray(axis_angle_to_matrix(
+            jnp.asarray(new_cams[i, :3]))) for i in range(F)]
+        new_c = np.stack([
+            -new_R[i].T @ new_cams[i, 3:] for i in range(F)])
+        move = np.linalg.norm(new_c - old_c, axis=1)
+        cap = 10.0 * max(float(np.median(move)), 0.05)
+        runaway = move > cap
+        if verbose and runaway.any():
+            print(f"[global-ba] trust region: {int(runaway.sum())} "
+                  f"cameras reverted (moved > {cap:.2f} m)")
         for f, i in fidx.items():
-            R = np.asarray(axis_angle_to_matrix(jnp.asarray(new_cams[i, :3])))
-            poses[f] = (R.astype(np.float32), new_cams[i, 3:].astype(np.float32))
+            if runaway[i]:
+                continue
+            poses[f] = (new_R[i].astype(np.float32),
+                        new_cams[i, 3:].astype(np.float32))
         for t, i in tidx.items():
             points[t] = new_pts[i]
         if _round < rounds - 1:

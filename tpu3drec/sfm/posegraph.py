@@ -90,26 +90,39 @@ def optimize_pose_graph(
         jnp.full(3, rot_weight, g.poses.dtype),
         jnp.ones(3, g.poses.dtype)])
 
-    def gn_step(poses, _):
-        def r_of(flat):
-            return (
-                edge_residuals(flat.reshape(F, 6), g)
-                * jnp.sqrt(jnp.maximum(g.weight, 0.0))[:, None]
-                * r_scale[None, :]
-            ).reshape(-1)
+    def r_of(flat):
+        return (
+            edge_residuals(flat.reshape(F, 6), g)
+            * jnp.sqrt(jnp.maximum(g.weight, 0.0))[:, None]
+            * r_scale[None, :]
+        ).reshape(-1)
 
-        flat = poses.reshape(-1)
+    # Levenberg-Marquardt, not raw GN: a fixed 1e-6 damping diverges on
+    # big graphs with large residuals (measured on the 500-frame loop:
+    # costs 2e4 -> 7e14 -> NaN in seven raw-GN steps). Adaptive lambda
+    # with accept/reject keeps every iteration monotone.
+    def lm_step(carry, _):
+        flat, lam, cost = carry
         r = r_of(flat)
-        J = jax.jacfwd(r_of)(flat)  # (6E, 6F) dense — small graphs
-        J = J * free[None, :]
-        H = J.T @ J + damping * jnp.eye(6 * F, dtype=flat.dtype)
-        gvec = J.T @ r
-        delta = -jnp.linalg.solve(H, gvec) * free
-        cost = jnp.sum(r * r)
-        return (flat + delta).reshape(F, 6), cost
+        J = jax.jacfwd(r_of)(flat) * free[None, :]
+        H = J.T @ J
+        H = H + lam * jnp.diag(jnp.diagonal(H)) + damping * jnp.eye(
+            6 * F, dtype=flat.dtype)
+        delta = -jnp.linalg.solve(H, J.T @ r) * free
+        cand = flat + delta
+        new_cost = jnp.sum(r_of(cand) ** 2)
+        accept = new_cost < cost
+        flat = jnp.where(accept, cand, flat)
+        lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-9),
+                        jnp.minimum(lam * 10.0, 1e8))
+        cost = jnp.where(accept, new_cost, cost)
+        return (flat, lam, cost), cost
 
-    poses, costs = jax.lax.scan(gn_step, g.poses, None, length=iters)
-    return poses, costs
+    cost0 = jnp.sum(r_of(g.poses.reshape(-1)) ** 2)
+    (flat, _, _), costs = jax.lax.scan(
+        lm_step, (g.poses.reshape(-1), jnp.asarray(1e-4, g.poses.dtype),
+                  cost0), None, length=iters)
+    return flat.reshape(F, 6), costs
 
 
 @partial(jax.jit, static_argnames=("iters",))
@@ -175,20 +188,33 @@ def optimize_pose_graph_switchable(
         r_prior = sqrt_lam * sw * (1.0 - s)
         return jnp.concatenate([r_edges, r_prior])
 
-    def gn_step(flat, _):
+    # Levenberg-Marquardt (see optimize_pose_graph: raw GN diverges on
+    # big graphs with large residuals)
+    def lm_step(carry, _):
+        flat, lam, cost = carry
         r = r_of(flat)
-        J = jax.jacfwd(r_of)(flat)
-        J = J * free_all[None, :]
-        H = J.T @ J + damping * jnp.eye(n_vars, dtype=flat.dtype)
+        J = jax.jacfwd(r_of)(flat) * free_all[None, :]
+        H = J.T @ J
+        H = H + lam * jnp.diag(jnp.diagonal(H)) + damping * jnp.eye(
+            n_vars, dtype=flat.dtype)
         delta = -jnp.linalg.solve(H, J.T @ r) * free_all
-        flat = flat + delta
+        cand = flat + delta
         # keep switches in [0,1] (the residual clips too, but clamping the
         # state keeps the linearization honest)
-        flat = flat.at[6 * F:].set(jnp.clip(flat[6 * F:], 0.0, 1.0))
-        return flat, jnp.sum(r * r)
+        cand = cand.at[6 * F:].set(jnp.clip(cand[6 * F:], 0.0, 1.0))
+        new_cost = jnp.sum(r_of(cand) ** 2)
+        accept = new_cost < cost
+        flat = jnp.where(accept, cand, flat)
+        lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-9),
+                        jnp.minimum(lam * 10.0, 1e8))
+        cost = jnp.where(accept, new_cost, cost)
+        return (flat, lam, cost), cost
 
     flat0 = jnp.concatenate([g.poses.reshape(-1), jnp.ones(E, g.poses.dtype)])
-    flat, costs = jax.lax.scan(gn_step, flat0, None, length=iters)
+    cost0 = jnp.sum(r_of(flat0) ** 2)
+    (flat, _, _), costs = jax.lax.scan(
+        lm_step, (flat0, jnp.asarray(1e-4, g.poses.dtype), cost0),
+        None, length=iters)
     poses = flat[: 6 * F].reshape(F, 6)
     switches = jnp.where(switch_mask, jnp.clip(flat[6 * F:], 0.0, 1.0), 1.0)
     return poses, switches, costs
