@@ -97,7 +97,11 @@ def render(rows: list[dict]) -> str:
         "layouts); m00 is the 150-frame mid-scale regression sequence "
         "(`tests/test_midscale.py`). The degraded row applies the full "
         "photometric degradation stack (motion blur, defocus, vignette — "
-        "`tpu3drec/data/degrade.py`). The 2-process row shards windows "
+        "`tpu3drec/data/degrade.py`) — reported for robustness "
+        "transparency: the pipeline survives heavy blur (coverage stays "
+        "above 0.98, no NaN poisoning, finite ATE) but drift exceeds the "
+        "clean-imagery bound, and the pass column says so rather than "
+        "moving the bar. The 2-process row shards windows "
         "across two `jax.distributed` processes "
         "(`tpu3drec/parallel/multihost.py`) and must match the "
         "single-process trajectory. TPU rows ran on the one real chip "
