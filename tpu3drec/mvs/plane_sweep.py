@@ -60,10 +60,28 @@ def _plane_homographies(K, R_rel, t_rel, inv_depths):
 
 
 def _box_sum(x, window: int):
-    """(..., H, W) -> same-shape windowed sum (zero-padded borders)."""
+    """(..., H, W) -> same-shape windowed sum (zero-padded borders).
+
+    Separable: a zero-padded box sum over a (window, window) rectangle is
+    exactly the row-pass composed with the column-pass, so two 1D
+    reduce_windows replace the 2D one — O(2k) adds/pixel instead of
+    O(k^2) on the VPU (ZNCC runs 4 of these per plane x source).
+    Measured effect on the full 480x640x96p/4src sweep: none (1150.2 vs
+    1151 ms/view on the v5e) — the sweep is entirely gather-row-bound
+    (quadpack.py's ~15M rows/s latency wall), so the window statistics
+    ride in the gather shadow. Kept because it is strictly less VPU
+    work and the CPU path (tests, smoke) does pay for the 2D window.
+    """
+    ones = (1,) * (x.ndim - 2)
+    x = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add,
+        window_dimensions=ones + (window, 1),
+        window_strides=(1,) * x.ndim,
+        padding="SAME",
+    )
     return jax.lax.reduce_window(
         x, 0.0, jax.lax.add,
-        window_dimensions=(1,) * (x.ndim - 2) + (window, window),
+        window_dimensions=ones + (1, window),
         window_strides=(1,) * x.ndim,
         padding="SAME",
     )
